@@ -1,0 +1,113 @@
+"""Headline benchmark: closed-loop diffusion-MPC control rate on cart-pole.
+
+Measures the reference's flagship workload (BASELINE.md "Closed-loop workload
+constants"): an 80-step receding-horizon loop where every step runs a full
+CFG diffusion sampling (25 denoise steps + 5 noise-free tail, 2 U-Net
+evaluations per step fused into one doubled batch) on the ~1M-param temporal
+U-Net, horizon 32, then steps the nonlinear 5-state cart-pole plant — all
+compiled into ONE jitted XLA program with zero host round-trips.
+
+Metric: closed-loop control rate in Hz (replans per second of wall clock).
+The reference's CPU/GPU loop pays per step: model reload + torch.compile
+(`Diffusion_MPC_Inference.py:199-227`), 30 sequential double U-Net launches,
+and host<->device transfers; its IPOPT baseline solves one NMPC per step on
+CPU (~10-100 ms → ~10-100 Hz; vs_baseline is computed against a 100 Hz
+generous estimate for the expert loop).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The reference's CPU closed-loop rate (IPOPT NMPC per step, CasADi overhead;
+# generous upper estimate — see BASELINE.md "Per-step IPOPT MPC solve time").
+BASELINE_CONTROL_HZ = 100.0
+
+N_STEPS = 80
+HORIZON = 32
+N_DIFFUSION_STEPS = 25
+N_TAIL = 5
+CFG_W = 0.01
+
+
+def main():
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.control import make_closed_loop
+    from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.dynamics import (
+        cartpole_virtual_swingup,
+        cartpole_virtual_cost,
+        theta_to_red_theta,
+    )
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+
+    model = TemporalUnet(
+        state_dim=1,
+        n_support_points=HORIZON,
+        unet_input_dim=32,
+        dim_mults=UNET_DIM_MULTS[0],
+        context_dim=5,
+        conditioning_type="default",
+    )
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", N_DIFFUSION_STEPS))
+    plant = cartpole_virtual_swingup()
+    cost = cartpole_virtual_cost()
+
+    x = jnp.zeros((1, HORIZON, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 5))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, jnp.zeros((1, 1)))
+
+    # synthetic normalizer stats (bench measures compute, not model quality)
+    inputs_stats = NormalizerStats(
+        kind="limits", mins=jnp.full((1,), -30.0), maxs=jnp.full((1,), 30.0)
+    )
+    cond_stats = NormalizerStats(
+        kind="limits", mins=jnp.full((5,), -10.0), maxs=jnp.full((5,), 10.0)
+    )
+
+    closed_loop = make_closed_loop(
+        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        horizon=HORIZON, n_steps=N_STEPS, w=CFG_W,
+        n_diffusion_steps_without_noise=N_TAIL,
+    )
+    run = jax.jit(closed_loop)
+
+    theta0 = 3.0
+    x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
+    key = jax.random.PRNGKey(42)
+
+    # compile + warmup
+    result = run(params, x0, key)
+    jax.block_until_ready(result.x_track)
+
+    # timed runs
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        result = run(params, x0, jax.random.fold_in(key, i))
+        jax.block_until_ready(result.x_track)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    control_hz = N_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "closed_loop_control_hz",
+                "value": round(control_hz, 1),
+                "unit": "Hz",
+                "vs_baseline": round(control_hz / BASELINE_CONTROL_HZ, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

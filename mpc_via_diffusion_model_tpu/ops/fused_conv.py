@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused Conv1d(k5, same) + GroupNorm + Mish (+ FiLM).
+
+The denoiser's hot op is `Conv1dBlock` (reference `layers.py:276-293`):
+Conv1d k5 -> GroupNorm -> Mish, executed 14x per U-Net forward and 60x per
+replan (30 denoise steps x 2 CFG passes, before batch fusion). At these tiny
+shapes (B<=64, H<=128, C<=128) the cost is memory movement and kernel launch
+overhead, not FLOPs; this kernel does the whole block in one VMEM-resident
+pass per batch element:
+
+- the k=5 'same' convolution is decomposed into 5 shifted (H, Cin) @
+  (Cin, Cout) matmuls on the MXU (weights stay in VMEM across the grid),
+- the optional FiLM conditioning bias (B, Cin) is added to the input first
+  (fusing the reference's `h = block0(x) + cond_mlp(c)` into block1's load),
+- GroupNorm statistics (mean/var over H x C/g per group) and the Mish
+  activation run on the VPU without touching HBM.
+
+`fused_conv1d_gn_mish` dispatches to the Pallas kernel on TPU and to a pure
+XLA reference implementation elsewhere (also used for correctness tests).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_conv1d_gn_mish", "conv1d_gn_mish_reference"]
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def conv1d_gn_mish_reference(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    n_groups: int,
+    pre_bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Pure-XLA reference: x (B, H, Cin), w (5, Cin, Cout), b (Cout),
+    gamma/beta (Cout), pre_bias (B, Cin) or None -> (B, H, Cout)."""
+    if pre_bias is not None:
+        x = x + pre_bias[:, None, :]
+    bsz, h, cin = x.shape
+    cout = w.shape[-1]
+    y = jnp.zeros((bsz, h, cout), x.dtype) + b
+    for k in range(5):
+        shift = k - 2
+        xs = jnp.roll(x, -shift, axis=1)
+        if shift < 0:
+            xs = xs.at[:, : -shift, :].set(0.0)
+        elif shift > 0:
+            xs = xs.at[:, -shift:, :].set(0.0)
+        y = y + jnp.einsum("bhc,cd->bhd", xs, w[k])
+    # GroupNorm over (H, C/g) per (batch, group)
+    g = n_groups
+    yg = y.reshape(bsz, h, g, cout // g)
+    mean = yg.mean(axis=(1, 3), keepdims=True)
+    var = ((yg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    yn = ((yg - mean) / jnp.sqrt(var + eps)).reshape(bsz, h, cout)
+    return _mish(yn * gamma + beta)
+
+
+def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, pb_ref, out_ref, *, n_groups, eps, has_pre_bias):
+    """One batch element per grid step: x (H, Cin) -> out (H, Cout)."""
+    x = x_ref[0]  # (H, Cin)
+    if has_pre_bias:
+        x = x + pb_ref[0][None, :]
+    h = x.shape[0]
+    cout = out_ref.shape[-1]
+
+    acc = jnp.zeros((h, cout), jnp.float32) + b_ref[:]
+    # k=5 shifted matmuls; row masks implement 'same' zero padding
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    for k in range(5):
+        shift = k - 2  # y[t] += x[t+shift] @ w[k]
+        xs = pltpu.roll(x, -shift, axis=0)
+        if shift < 0:
+            mask = row >= -shift
+        elif shift > 0:
+            mask = row < h - shift
+        else:
+            mask = None
+        if mask is not None:
+            xs = jnp.where(mask, xs, 0.0)
+        acc = acc + jnp.dot(xs, w_ref[k], preferred_element_type=jnp.float32)
+
+    # GroupNorm over (H, C/g) per group
+    g = n_groups
+    cpg = cout // g
+    yg = acc.reshape(h, g, cpg)
+    mean = jnp.mean(yg, axis=(0, 2), keepdims=True)
+    var = jnp.mean(jnp.square(yg - mean), axis=(0, 2), keepdims=True)
+    yn = ((yg - mean) * jax.lax.rsqrt(var + eps)).reshape(h, cout)
+    yn = yn * gamma_ref[:] + beta_ref[:]
+    out_ref[0] = yn * jnp.tanh(jax.nn.softplus(yn))
+
+
+def fused_conv1d_gn_mish(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    n_groups: int,
+    pre_bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused Conv1d(k5,'same') + GroupNorm + Mish; Pallas on TPU, XLA
+    reference elsewhere. Shapes as `conv1d_gn_mish_reference`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and jax.default_backend() != "tpu":
+        # off-TPU: the XLA reference IS the implementation
+        return conv1d_gn_mish_reference(x, w, b, gamma, beta, n_groups, pre_bias, eps)
+
+    bsz, h, cin = x.shape
+    cout = w.shape[-1]
+    has_pb = pre_bias is not None
+    pb = pre_bias if has_pb else jnp.zeros((bsz, cin), x.dtype)
+
+    kernel = functools.partial(
+        _kernel, n_groups=n_groups, eps=eps, has_pre_bias=has_pb
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, h, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, cout), x.dtype),
+        interpret=False,
+    )(x, w, b, gamma, beta, pb)

@@ -1,0 +1,2 @@
+from .lqr import LQRSolution, lqr_gains, lqr_solve, lqr_solve_batched
+from .ilqr import ILQRConfig, ILQRSolution, ilqr_solve, ilqr_solve_batched

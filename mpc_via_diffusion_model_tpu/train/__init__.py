@@ -1,0 +1,11 @@
+from .config import ModelConfig, DiffusionConfig, TrainConfig, ExperimentConfig
+from .trainer import (
+    TrainState,
+    Trainer,
+    EarlyStopper,
+    make_train_step,
+    make_eval_step,
+    make_optimizer,
+    save_checkpoint,
+    load_checkpoint,
+)

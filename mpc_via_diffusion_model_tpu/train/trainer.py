@@ -1,0 +1,294 @@
+"""Training loop: one jitted train step, EMA-in-step, checkpoint/resume.
+
+Rebuild of `mpd/trainer/trainer.py`. The reference runs a torch loop with a
+host round-trip per step (`trainer.py:181-309`); here the whole update —
+loss, grads, Adam, global-norm clip, EMA — is one jitted function of
+(TrainState, batch, key), and the minibatch gather happens on device. Multi
+chip data-parallel training wraps the same step with `shard_map` (see
+`parallel/mesh.py`).
+
+Semantics preserved:
+- Adam(lr 3e-3) + clip-by-global-norm 1.0 (`trainer.py:152,292-296`)
+- EMA beta=0.995, hard copy before step 1000, update every 10 steps
+  (`trainer.py:70-91,303-309`) — implemented branch-free with jnp.where on
+  the step counter
+- validation every `steps_til_summary` over `steps_per_validation` batches
+  (`trainer.py:230-257`)
+- EarlyStopper with patience -1 = disabled (`trainer.py:48-67`)
+- checkpoints keep both raw and EMA params + opt state + step (the reference
+  saves model and EMA snapshots but has NO resume path; ours restores
+  optimizer/EMA/step exactly — SURVEY.md §5 gap)
+- NaN guard: a non-finite loss skips the update (SURVEY.md §5 hardening)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.gaussian_diffusion import GaussianDiffusion
+
+__all__ = ["TrainState", "make_train_step", "make_eval_step", "Trainer", "EarlyStopper"]
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainState:
+    params: Params
+    ema_params: Params
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.ema_params, s.opt_state, s.step), None),
+    lambda _, leaves: TrainState(*leaves),
+)
+
+
+class EarlyStopper:
+    """reference `trainer.py:48-67`; patience -1 disables."""
+
+    def __init__(self, patience: int = -1, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.min_validation_loss = float("inf")
+
+    def early_stop(self, validation_loss: float) -> bool:
+        if self.patience == -1:
+            return False
+        if validation_loss < self.min_validation_loss:
+            self.min_validation_loss = validation_loss
+            self.counter = 0
+        elif validation_loss > self.min_validation_loss + self.min_delta:
+            self.counter += 1
+            if self.counter >= self.patience:
+                return True
+        return False
+
+
+def make_optimizer(lr: float, clip_grad_max_norm: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(clip_grad_max_norm),
+        optax.adam(learning_rate=lr),
+    )
+
+
+def make_train_step(
+    diffusion: GaussianDiffusion,
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.995,
+    step_start_ema: int = 1000,
+    update_ema_every: int = 10,
+):
+    """Build the jitted train step.
+
+    ``apply_fn(params, x, t, context, context_mask)`` is the denoiser forward.
+    Returns step(state, inputs_norm, condition_norm, key) -> (state, metrics).
+    """
+
+    def loss_fn(params, inputs_norm, condition_norm, key):
+        denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
+        return diffusion.loss(denoise, inputs_norm, condition_norm, key)
+
+    def train_step(state: TrainState, inputs_norm, condition_norm, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, inputs_norm, condition_norm, key
+        )
+        # NaN guard: skip the update if the loss or any grad is non-finite
+        grads_finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        )
+        ok = jnp.logical_and(jnp.isfinite(loss), grads_finite)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+        )
+
+        step = state.step + 1
+        # EMA: hard copy before step_start_ema, else decay-update every
+        # update_ema_every steps (reference trainer.py:303-309)
+        do_update = jnp.logical_and(step >= step_start_ema, step % update_ema_every == 0)
+        hard_copy = step < step_start_ema
+
+        def ema_leaf(ema, p):
+            decayed = ema * ema_decay + p * (1.0 - ema_decay)
+            out = jnp.where(do_update, decayed, ema)
+            return jnp.where(hard_copy, p, out)
+
+        new_ema = jax.tree_util.tree_map(ema_leaf, state.ema_params, new_params)
+
+        new_state = TrainState(
+            params=new_params, ema_params=new_ema, opt_state=new_opt_state, step=step
+        )
+        metrics = {"loss": loss, "update_skipped": jnp.logical_not(ok)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(diffusion: GaussianDiffusion, apply_fn: Callable):
+    def eval_step(params, inputs_norm, condition_norm, key):
+        denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
+        return diffusion.loss(denoise, inputs_norm, condition_norm, key)
+
+    return eval_step
+
+
+# --------------------------------------------------------------------------- #
+# Checkpointing: params + EMA + opt state + step, with exact resume.
+# Stored as a pickled pytree of numpy arrays (orbax is available but adds
+# async machinery we don't need for <10 MB states; format documented here).
+# --------------------------------------------------------------------------- #
+
+def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.tree_util.tree_map(np.asarray, state.params),
+        "ema_params": jax.tree_util.tree_map(np.asarray, state.ema_params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+        "step": int(state.step),
+        "extra": extra or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+
+
+def load_checkpoint(path: str) -> Tuple[TrainState, Dict]:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    state = TrainState(
+        params=to_j(payload["params"]),
+        ema_params=to_j(payload["ema_params"]),
+        opt_state=to_j(payload["opt_state"]),
+        step=jnp.int32(payload["step"]),
+    )
+    return state, payload.get("extra", {})
+
+
+# --------------------------------------------------------------------------- #
+# High-level loop
+# --------------------------------------------------------------------------- #
+
+class Trainer:
+    """Python driver around the jitted step (epoch bookkeeping, validation,
+    checkpointing, early stopping, loss history .npy like the reference's
+    `save_losses_to_disk`, `trainer.py:43-45`)."""
+
+    def __init__(
+        self,
+        diffusion: GaussianDiffusion,
+        apply_fn: Callable,
+        init_params: Params,
+        lr: float = 3e-3,
+        clip_grad_max_norm: float = 1.0,
+        ema_decay: float = 0.995,
+        step_start_ema: int = 1000,
+        update_ema_every: int = 10,
+        checkpoint_dir: Optional[str] = None,
+        train_step_fn: Optional[Callable] = None,
+    ):
+        self.diffusion = diffusion
+        self.apply_fn = apply_fn
+        self.optimizer = make_optimizer(lr, clip_grad_max_norm)
+        step = train_step_fn or make_train_step(
+            diffusion, apply_fn, self.optimizer, ema_decay, step_start_ema, update_ema_every
+        )
+        self.train_step = jax.jit(step)
+        self.eval_step = jax.jit(make_eval_step(diffusion, apply_fn))
+        self.state = TrainState(
+            params=init_params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, init_params),
+            opt_state=self.optimizer.init(init_params),
+            step=jnp.int32(0),
+        )
+        self.checkpoint_dir = checkpoint_dir
+        self.train_losses: list = []
+        self.val_losses: list = []
+
+    def resume(self, path: str) -> None:
+        self.state, _ = load_checkpoint(path)
+
+    def fit(
+        self,
+        dataset,
+        num_train_steps: int,
+        batch_size: int = 512,
+        key: Optional[jax.Array] = None,
+        val_dataset=None,
+        steps_til_summary: int = 2000,
+        steps_til_checkpoint: int = 10000,
+        steps_per_validation: int = 10,
+        early_stopper_patience: int = -1,
+        log_fn: Callable[[str], None] = print,
+    ) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        stopper = EarlyStopper(early_stopper_patience)
+        t0 = time.time()
+        start_step = int(self.state.step)
+
+        for it in range(start_step, num_train_steps):
+            key, k_batch, k_loss = jax.random.split(key, 3)
+            inputs, cond = dataset.batch(k_batch, batch_size)
+            self.state, metrics = self.train_step(self.state, inputs, cond, k_loss)
+
+            if (it + 1) % steps_til_summary == 0 or it == start_step:
+                train_loss = float(metrics["loss"])
+                self.train_losses.append((it + 1, train_loss))
+                msg = f"step {it + 1}/{num_train_steps} loss {train_loss:.6f}"
+                if val_dataset is not None:
+                    val_loss = self.validate(val_dataset, batch_size, steps_per_validation, key)
+                    self.val_losses.append((it + 1, val_loss))
+                    msg += f" val {val_loss:.6f}"
+                    if stopper.early_stop(val_loss):
+                        log_fn(f"early stop at step {it + 1}")
+                        break
+                msg += f" ({(it + 1 - start_step) / max(time.time() - t0, 1e-9):.1f} steps/s)"
+                log_fn(msg)
+
+            if self.checkpoint_dir and (it + 1) % steps_til_checkpoint == 0:
+                self.checkpoint(tag=f"step_{it + 1:06d}")
+
+        if self.checkpoint_dir:
+            self.checkpoint(tag="final")
+        return self.state
+
+    def validate(self, val_dataset, batch_size, n_batches, key) -> float:
+        losses = []
+        for i in range(n_batches):
+            key, k_b, k_l = jax.random.split(key, 3)
+            inputs, cond = val_dataset.batch(k_b, batch_size)
+            losses.append(float(self.eval_step(self.state.params, inputs, cond, k_l)))
+        return float(np.mean(losses))
+
+    def checkpoint(self, tag: str = "current") -> None:
+        assert self.checkpoint_dir is not None
+        save_checkpoint(os.path.join(self.checkpoint_dir, f"{tag}.ckpt"), self.state)
+        save_checkpoint(os.path.join(self.checkpoint_dir, "current.ckpt"), self.state)
+        np.save(
+            os.path.join(self.checkpoint_dir, "train_losses.npy"),
+            np.asarray(self.train_losses, dtype=np.float64),
+        )
+        np.save(
+            os.path.join(self.checkpoint_dir, "val_losses.npy"),
+            np.asarray(self.val_losses, dtype=np.float64),
+        )

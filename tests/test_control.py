@@ -1,0 +1,150 @@
+"""Control runtime: fused closed loop, candidate selection, NMPC baseline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_via_diffusion_model_tpu.control import (
+    count_swing_modes,
+    make_closed_loop,
+    make_nmpc_closed_loop,
+    make_replan_fn,
+    per_step_mpc_costs,
+    track_parity,
+)
+from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats
+from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+from mpc_via_diffusion_model_tpu.dynamics import (
+    cartpole_virtual_swingup,
+    cartpole_virtual_cost,
+    double_integrator,
+    double_integrator_cost,
+    theta_to_red_theta,
+)
+from mpc_via_diffusion_model_tpu.models import PointUnet, TemporalUnet
+from mpc_via_diffusion_model_tpu.solvers import ILQRConfig
+
+H = 8
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = TemporalUnet(
+        state_dim=1, n_support_points=H, unet_input_dim=8, dim_mults=(1, 2),
+        context_dim=5, conditioning_type="default",
+    )
+    x = jnp.zeros((1, H, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 5))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, jnp.zeros((1, 1)))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def stats():
+    inputs_stats = NormalizerStats("limits", mins=jnp.full((1,), -10.0), maxs=jnp.full((1,), 10.0))
+    cond_stats = NormalizerStats("limits", mins=jnp.full((5,), -8.0), maxs=jnp.full((5,), 8.0))
+    return inputs_stats, cond_stats
+
+
+def test_replan_shapes_and_limits(small_model, stats):
+    model, params = small_model
+    inputs_stats, cond_stats = stats
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 5))
+    replan = make_replan_fn(
+        diffusion, model.apply, inputs_stats, cond_stats, horizon=H, w=0.01,
+        n_diffusion_steps_without_noise=2,
+    )
+    x0 = jnp.array([0.1, 0.0, 3.0, 0.0, 0.5])
+    u_hor, u_cand = jax.jit(replan)(params, x0, jax.random.PRNGKey(0))
+    assert u_hor.shape == (H, 1)
+    assert u_cand.shape == (1, H, 1)
+    # unnormalize clips to the data limits
+    assert float(jnp.max(jnp.abs(u_hor))) <= 10.0 + 1e-5
+
+
+def test_closed_loop_runs_fused(small_model, stats):
+    model, params = small_model
+    inputs_stats, cond_stats = stats
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 5))
+    plant = cartpole_virtual_swingup()
+    cost = cartpole_virtual_cost()
+    loop = make_closed_loop(
+        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        horizon=H, n_steps=10, n_diffusion_steps_without_noise=2,
+    )
+    theta0 = 3.0
+    x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
+    result = jax.jit(loop)(params, x0, jax.random.PRNGKey(1))
+    assert result.x_track.shape == (11, 5)
+    assert result.u_track.shape == (10, 1)
+    assert result.u_horizons.shape == (10, H, 1)
+    assert result.stage_costs.shape == (10,)
+    assert np.all(np.isfinite(np.asarray(result.x_track)))
+
+    # deterministic given key
+    result2 = jax.jit(loop)(params, x0, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(result.u_track), np.asarray(result2.u_track))
+
+
+def test_candidate_selection_reduces_cost(small_model, stats):
+    """n_candidates > 1 with min-cost selection must not do worse (in
+    per-replan horizon cost) than candidate 0 on average."""
+    model, params = small_model
+    inputs_stats, cond_stats = stats
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 5))
+    plant = cartpole_virtual_swingup()
+    cost = cartpole_virtual_cost()
+    replan_multi = make_replan_fn(
+        diffusion, model.apply, inputs_stats, cond_stats, horizon=H, w=0.01,
+        n_diffusion_steps_without_noise=2, n_candidates=8, plant=plant, cost=cost,
+    )
+    x0 = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
+
+    def horizon_cost(u_seq):
+        def body(carry, u):
+            x, acc = carry
+            acc = acc + cost.stage(x, u)
+            return (plant.step(x, u), acc), None
+
+        (x_f, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), u_seq)
+        return acc + cost.terminal(x_f)
+
+    u_best, u_cand = jax.jit(replan_multi)(params, x0, jax.random.PRNGKey(3))
+    assert u_cand.shape == (8, H, 1)
+    j_best = float(horizon_cost(u_best))
+    j_all = [float(horizon_cost(u_cand[i])) for i in range(8)]
+    assert j_best == pytest.approx(min(j_all), rel=1e-5)
+
+
+def test_nmpc_closed_loop_stabilizes_double_integrator():
+    plant = double_integrator()
+    cost = double_integrator_cost()
+    loop = make_nmpc_closed_loop(
+        plant, cost, ILQRConfig(horizon=16, n_iterations=15), n_steps=50,
+    )
+    x0 = jnp.array([2.0, 0.0])
+    result = jax.jit(loop)(x0)
+    # drives position from 2.0 to near zero (50 steps x 0.05 s, soft weights
+    # -> small overshoot and slow settle; |x| ends ~0.11)
+    assert abs(float(result.x_track[-1, 0])) < 0.15
+    assert abs(float(result.x_track[-1, 1])) < 0.5
+    assert np.all(np.isfinite(np.asarray(result.u_track)))
+
+
+def test_metrics(small_model, stats):
+    plant = cartpole_virtual_swingup()
+    cost = cartpole_virtual_cost()
+    loop = make_nmpc_closed_loop(plant, cost, ILQRConfig(horizon=H, n_iterations=5), n_steps=5)
+    x0 = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
+    r1 = jax.jit(loop)(x0)
+    parity = track_parity(r1, r1)
+    assert parity["u_l1"] == 0.0
+    costs = per_step_mpc_costs(plant, cost, r1)
+    assert costs.shape == (5,)
+    assert np.all(np.isfinite(np.asarray(costs)))
+
+    tracks = np.stack([np.asarray(r1.x_track), np.asarray(r1.x_track)])
+    modes = count_swing_modes(tracks)
+    assert modes["left"] + modes["right"] == 2
