@@ -136,18 +136,17 @@ def make_closed_loop(
     to_cond = state_to_condition or (lambda x: x)
 
     def closed_loop(params, x0, key):
-        def body(carry, _):
-            x, k = carry
-            k, k_replan = jax.random.split(k)
+        # all replan keys derived in one split outside the scan
+        replan_keys = jax.random.split(key, n_steps)
+
+        def body(x, k_replan):
             u_hor, _ = replan(params, to_cond(x), k_replan)
             u0 = u_hor[0]
             stage = cost.stage(x, u0)
             x_next = plant.step(x, u0)
-            return (x_next, k), (x_next, u0, u_hor, stage)
+            return x_next, (x_next, u0, u_hor, stage)
 
-        (x_f, _), (xs, us, u_hors, stages) = jax.lax.scan(
-            body, (x0, key), None, length=n_steps
-        )
+        x_f, (xs, us, u_hors, stages) = jax.lax.scan(body, x0, replan_keys)
         return ClosedLoopResult(
             x_track=jnp.concatenate([x0[None], xs], axis=0),
             u_track=us,

@@ -63,12 +63,20 @@ class ControlSequenceDataset:
 
     @classmethod
     def load(cls, path: str, normalizer: str = "LimitsNormalizer") -> "ControlSequenceDataset":
-        """Load from .npz (keys 'inputs', 'condition') or a directory holding
-        the reference's u/x0 .pt tensors."""
+        """Load from .npz or a .css shard (native mmap store; zero-copy host
+        read). For the reference's raw .pt tensors use `load_reference_pt`."""
         if path.endswith(".npz"):
             with np.load(path) as z:
                 return cls.from_arrays(z["inputs"], z["condition"], normalizer)
-        raise ValueError(f"unsupported dataset path: {path}")
+        if path.endswith(".css"):
+            from ..native import read_store
+
+            store = read_store(path)
+            return cls.from_arrays(store["inputs"], store["condition"], normalizer)
+        raise ValueError(
+            f"unsupported dataset path: {path} (expected .npz or .css; "
+            f"reference .pt pairs load via load_reference_pt)"
+        )
 
     @classmethod
     def load_reference_pt(cls, u_path: str, x0_path: str, normalizer: str = "LimitsNormalizer") -> "ControlSequenceDataset":
@@ -80,6 +88,14 @@ class ControlSequenceDataset:
         return cls.from_arrays(u, x0, normalizer)
 
     def save(self, path: str) -> None:
+        if path.endswith(".css"):
+            from ..native import write_store
+
+            write_store(
+                path,
+                {"inputs": np.asarray(self.inputs), "condition": np.asarray(self.condition)},
+            )
+            return
         np.savez_compressed(
             path, inputs=np.asarray(self.inputs), condition=np.asarray(self.condition)
         )

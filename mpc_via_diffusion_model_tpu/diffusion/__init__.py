@@ -1,1 +1,12 @@
 from .gaussian_diffusion import GaussianDiffusion, HardConds, apply_hard_conds
+from .guides import (
+    make_guide,
+    collision_avoidance_guide,
+    smoothness_finite_difference_guide,
+    gp_prior_guide,
+    state_goal_guide,
+    first_order_smoothness_guide,
+    last_point_guide,
+    multi_sphere_obstacle_guide,
+    control_effort_guide,
+)

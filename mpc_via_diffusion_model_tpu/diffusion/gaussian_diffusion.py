@@ -247,26 +247,23 @@ class GaussianDiffusion:
         """DDPM ancestral sampling as one lax.scan (reference `p_sample_loop`
         + `ddpm_sample_fn`, `diffusion_model_base.py:212-237`,
         `sample_functions.py:47-92`)."""
-        k_init, k_loop = jax.random.split(key)
-        x = jax.random.normal(k_init, shape, jnp.float32)
-        x = apply_hard_conds(x, hard_conds)
-        x_init = x
-
         n_tail = n_diffusion_steps_without_noise
+        n_total = self.schedule.n_steps + n_tail
         steps = jnp.arange(self.schedule.n_steps - 1, -n_tail - 1, -1)
 
-        def body(carry, i):
-            x, k = carry
-            k, k_noise = jax.random.split(k)
-            noise = jax.random.normal(k_noise, shape, jnp.float32)
+        all_noise = jax.random.normal(key, (n_total + 1,) + tuple(shape), jnp.float32)
+        x_init = apply_hard_conds(all_noise[0], hard_conds)
+
+        def body(x, inp):
+            i, noise = inp
             x_new = self.ddpm_step(
                 denoise_fn, x, i, noise, context, hard_conds,
                 guide, n_guide_steps, t_start_guide, scale_grad_by_std,
                 noise_std_extra_schedule_fn,
             )
-            return (x_new, k), x_new if return_chain else None
+            return x_new, x_new if return_chain else None
 
-        (x, _), chain = jax.lax.scan(body, (x, k_loop), steps)
+        x, chain = jax.lax.scan(body, x_init, (steps, all_noise[1:]))
         if return_chain:
             return x, jnp.concatenate([x_init[None], chain], axis=0)
         return x
@@ -286,20 +283,22 @@ class GaussianDiffusion:
         `run_CFG`, `diffusion_model_base.py:181-209,394-418`,
         `sample_functions.py:17-44`). No hard conditions on this path,
         matching the reference."""
-        k_init, k_loop = jax.random.split(key)
-        x0 = jax.random.normal(k_init, shape, jnp.float32)
-
         n_tail = n_diffusion_steps_without_noise
+        n_total = self.schedule.n_steps + n_tail
         steps = jnp.arange(self.schedule.n_steps - 1, -n_tail - 1, -1)
 
-        def body(carry, i):
-            x, k = carry
-            k, k_noise = jax.random.split(k)
-            noise = jax.random.normal(k_noise, shape, jnp.float32)
-            x_new = self.ddpm_cfg_step(denoise_fn, x, i, noise, context, w)
-            return (x_new, k), x_new if return_chain else None
+        # one PRNG op for the whole chain (initial x + every step's noise)
+        # instead of sequential splits inside the scan — measurably cheaper
+        # at control-loop batch sizes.
+        all_noise = jax.random.normal(key, (n_total + 1,) + tuple(shape), jnp.float32)
+        x0 = all_noise[0]
 
-        (x, _), chain = jax.lax.scan(body, (x0, k_loop), steps)
+        def body(x, inp):
+            i, noise = inp
+            x_new = self.ddpm_cfg_step(denoise_fn, x, i, noise, context, w)
+            return x_new, x_new if return_chain else None
+
+        x, chain = jax.lax.scan(body, x0, (steps, all_noise[1:]))
         if return_chain:
             return x, jnp.concatenate([x0[None], chain], axis=0)
         return x

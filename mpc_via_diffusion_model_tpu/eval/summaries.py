@@ -1,0 +1,94 @@
+"""Training-time summaries: sample-and-evaluate hooks for the trainer.
+
+Rebuild of `mpd/summaries/summary_trajectory_generation.py`
+(`SummaryTrajectoryGeneration.summary_fn`): mid-training, sample N
+trajectories from the EMA model for a random task, compute planning metrics
+(fraction free / collision intensity / success), and hand them to the metric
+writer (stdout / JSONL; wandb if available — the reference logs to wandb,
+`trainer.py:274`, disabled by default)."""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["MetricsWriter", "make_trajectory_summary"]
+
+
+class MetricsWriter:
+    """Structured metrics sink: JSONL file + stdout (+ wandb when installed
+    and enabled). Replaces the reference's print-spray + wandb.log mix."""
+
+    def __init__(self, log_dir: Optional[str] = None, use_wandb: bool = False, run_name: str = "run"):
+        self.log_dir = log_dir
+        self._fh = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._fh = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project="mpc_via_diffusion_model_tpu", name=run_name)
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None  # wandb not installed / no network: degrade
+
+    def log(self, metrics: Dict, step: int) -> None:
+        record = {"step": int(step), "time": time.time(), **{
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in metrics.items()
+        }}
+        if self._fh:
+            self._fh.write(json.dumps(record) + "\n")
+            self._fh.flush()
+        if self._wandb:
+            self._wandb.log(metrics, step=step)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+
+
+def make_trajectory_summary(
+    diffusion,
+    apply_fn: Callable,
+    dataset,
+    n_samples: int = 25,
+    n_diffusion_steps_without_noise: int = 5,
+):
+    """Build ``summary(params, key) -> dict`` sampling n trajectories for a
+    random dataset task and scoring them (reference
+    `summary_trajectory_generation.py:16-97`)."""
+    from ..eval.planning_metrics import planning_metrics
+
+    horizon = dataset.n_support_points
+    d = dataset.state_dim
+
+    def sample(params, hard_conds, key):
+        denoise = lambda x, t, c, m: apply_fn(params, x, t)
+        return diffusion.ddpm_sample(
+            denoise, (n_samples, horizon, d), key, hard_conds=hard_conds,
+            n_diffusion_steps_without_noise=n_diffusion_steps_without_noise,
+        )
+
+    sample_jit = jax.jit(sample)
+
+    def summary(params, key) -> Dict[str, float]:
+        k_task, k_sample = jax.random.split(key)
+        idx = int(jax.random.randint(k_task, (), 0, len(dataset)))
+        start = dataset.trajs[idx, 0]
+        goal = dataset.trajs[idx, -1]
+        hard_conds = dataset.get_hard_conditions(start, goal, n_samples=n_samples)
+        x_norm = sample_jit(params, hard_conds, k_sample)
+        trajs = dataset.unnormalize_trajectories(x_norm)
+        if dataset.env is None:
+            return {}
+        return planning_metrics(dataset.env, trajs)
+
+    return summary

@@ -24,3 +24,11 @@ MODELS = {
     "PointUnet": PointUnet,
     "AMPCNet": AMPCNet,
 }
+from .score_models import (
+    ScoreMLP,
+    ve_marginal_prob_std,
+    ve_diffusion_coeff,
+    score_matching_loss,
+    ode_likelihood,
+)
+from .equiv_layers import knn, get_graph_feature, get_graph_feature_cross, VNLinear, VNLeakyReLU

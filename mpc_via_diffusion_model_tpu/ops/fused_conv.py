@@ -69,10 +69,15 @@ def conv1d_gn_mish_reference(
 
 
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, pb_ref, out_ref, *, n_groups, eps, has_pre_bias):
-    """One batch element per grid step: x (H, Cin) -> out (H, Cout)."""
-    x = x_ref[0]  # (H, Cin)
+    """One batch element per grid step: x (H, Cin) -> out (H, Cout).
+
+    All refs carry the FULL arrays (the shapes are tiny and fit VMEM); the
+    grid only selects the batch row — TPU block-shape divisibility rules
+    ((8, 128) tiles) reject 1-row blocks of these small tensors otherwise."""
+    i = pl.program_id(0)
+    x = x_ref[i]  # (H, Cin)
     if has_pre_bias:
-        x = x + pb_ref[0][None, :]
+        x = x + pb_ref[i][None, :]
     h = x.shape[0]
     cout = out_ref.shape[-1]
 
@@ -81,7 +86,9 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, pb_ref, out_ref, *, n_grou
     row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
     for k in range(5):
         shift = k - 2  # y[t] += x[t+shift] @ w[k]
-        xs = pltpu.roll(x, -shift, axis=0)
+        # pltpu.roll requires a non-negative shift; (-shift) mod h is the same
+        # circular move
+        xs = pltpu.roll(x, (-shift) % h, axis=0)
         if shift < 0:
             mask = row >= -shift
         elif shift > 0:
@@ -92,15 +99,28 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, pb_ref, out_ref, *, n_grou
             xs = jnp.where(mask, xs, 0.0)
         acc = acc + jnp.dot(xs, w_ref[k], preferred_element_type=jnp.float32)
 
-    # GroupNorm over (H, C/g) per group
+    # GroupNorm over (H, C/g) per group. Mosaic rejects the (H, C) ->
+    # (H, g, C/g) reshape at these shapes, so group stats are computed with
+    # a one-hot channel->group matmul instead (all 2-D, MXU-friendly):
+    # mean_g = (1/(H*C/g)) * sum_h acc @ M, broadcast back via M^T.
     g = n_groups
     cpg = cout // g
-    yg = acc.reshape(h, g, cpg)
-    mean = jnp.mean(yg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(yg - mean), axis=(0, 2), keepdims=True)
-    yn = ((yg - mean) * jax.lax.rsqrt(var + eps)).reshape(h, cout)
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (cout, g), 0)
+    grp_ids = jax.lax.broadcasted_iota(jnp.int32, (cout, g), 1)
+    member = (ch_ids // cpg == grp_ids).astype(jnp.float32)  # (C, g)
+    denom = float(h * cpg)
+    sums = jnp.dot(jnp.sum(acc, axis=0, keepdims=True), member,
+                   preferred_element_type=jnp.float32)  # (1, g)
+    sq_sums = jnp.dot(jnp.sum(acc * acc, axis=0, keepdims=True), member,
+                      preferred_element_type=jnp.float32)
+    mean_g = sums / denom
+    var_g = sq_sums / denom - mean_g * mean_g
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)  # (1, C)
+    inv_std_c = jnp.dot(jax.lax.rsqrt(var_g + eps), member.T,
+                        preferred_element_type=jnp.float32)
+    yn = (acc - mean_c) * inv_std_c
     yn = yn * gamma_ref[:] + beta_ref[:]
-    out_ref[0] = yn * jnp.tanh(jax.nn.softplus(yn))
+    out_ref[i] = yn * jnp.tanh(jax.nn.softplus(yn))
 
 
 def fused_conv1d_gn_mish(
@@ -130,18 +150,12 @@ def fused_conv1d_gn_mish(
     kernel = functools.partial(
         _kernel, n_groups=n_groups, eps=eps, has_pre_bias=has_pb
     )
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(bsz,),
-        in_specs=[
-            pl.BlockSpec((1, h, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[full(), full(), full(), full(), full(), full()],
+        out_specs=full(),
         out_shape=jax.ShapeDtypeStruct((bsz, h, cout), x.dtype),
         interpret=False,
     )(x, w, b, gamma, beta, pb)

@@ -1,0 +1,96 @@
+"""Motion-planning inference CLI (the reference 'mpd' pipeline).
+
+Replaces `scripts/inference/inference_(mpd).py`: generate (or load) a 2-D
+obstacle environment and trajectory dataset, train-or-load an unconditioned
+temporal U-Net, then sample guided trajectories between a random
+collision-free start/goal with hard inpainting conditions, report the
+planning metrics, and render the result.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=None, help="trained model ckpt; untrained demo if omitted")
+    p.add_argument("--n-samples", type=int, default=25)
+    p.add_argument("--horizon", type=int, default=64)
+    p.add_argument("--n-diffusion-steps", type=int, default=25)
+    p.add_argument("--guide-scale", type=float, default=0.1)
+    p.add_argument("--results-dir", default="logs/planning")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    from mpc_via_diffusion_model_tpu.control import make_planner
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.trajectories import (
+        TrajectoryDataset, generate_trajectories_gpmp,
+    )
+    from mpc_via_diffusion_model_tpu.diffusion import (
+        GaussianDiffusion, collision_avoidance_guide, gp_prior_guide,
+        first_order_smoothness_guide, make_guide,
+    )
+    from mpc_via_diffusion_model_tpu.envs import ENV_SIMPLE_2D
+    from mpc_via_diffusion_model_tpu.eval.plotting import plot_planning_env, save_fig
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet
+    from mpc_via_diffusion_model_tpu.train import load_checkpoint
+
+    env = ENV_SIMPLE_2D
+    key = jax.random.PRNGKey(args.seed)
+    k_data, k_plan = jax.random.split(key)
+
+    print("generating trajectory dataset (GPMP-style batched optimizer)...")
+    trajs, valid = generate_trajectories_gpmp(
+        env, k_data, n_tasks=16, n_trajs_per_task=8, horizon=args.horizon,
+    )
+    ds = TrajectoryDataset.from_arrays(np.asarray(trajs[valid]), env=env)
+    print(f"dataset: {ds.n_trajs} collision-free trajectories")
+
+    model = TemporalUnet(
+        state_dim=2, n_support_points=args.horizon, unet_input_dim=32,
+        dim_mults=(1, 2, 4), conditioning_type=None,
+    )
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", args.n_diffusion_steps))
+    x = jnp.zeros((1, args.horizon, 2))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((1,), jnp.int32))
+    if args.checkpoint:
+        state, _ = load_checkpoint(args.checkpoint)
+        params = state.ema_params
+
+    guide = make_guide(
+        [(collision_avoidance_guide(env), 1.0),
+         (first_order_smoothness_guide(), 0.1)],
+        unnormalize_fn=ds.unnormalize_trajectories,
+        clip_grad=True, scale=args.guide_scale,
+    )
+    plan = make_planner(diffusion, model.apply, ds, n_samples=args.n_samples,
+                        n_post_diffusion_guide_steps=5)
+
+    start = ds.trajs[0, 0]
+    goal = ds.trajs[0, -1]
+    result = plan(params, start, goal, k_plan, guide=guide)
+    print("metrics:", result.metrics)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    np.save(os.path.join(args.results_dir, "trajs.npy"), result.trajs)
+    fig = plot_planning_env(env, result.trajs, result.best_idx)
+    save_fig(fig, os.path.join(args.results_dir, "planning"))
+    print(f"saved to {args.results_dir}")
+
+
+if __name__ == "__main__":
+    main()

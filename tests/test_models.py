@@ -154,3 +154,52 @@ def test_unet_jit_and_grad(flagship):
     g = jax.grad(loss)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def test_score_mlp_and_likelihood():
+    """Working score-model family (the reference's is dead code with a broken
+    import, score_model_base.py:3)."""
+    from mpc_via_diffusion_model_tpu.models import (
+        ScoreMLP, ode_likelihood, score_matching_loss, ve_marginal_prob_std,
+    )
+
+    model = ScoreMLP(x_dim=2, hidden_dim=32, embed_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    t = jnp.full((8,), 0.5)
+    params = model.init(jax.random.PRNGKey(1), x, t)
+    s = model.apply(params, x, t)
+    assert s.shape == (8, 2)
+    assert float(ve_marginal_prob_std(jnp.float32(1.0))) == pytest.approx(50.0)
+
+    loss = score_matching_loss(model.apply, params, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+    z, logp = ode_likelihood(model.apply, params, x, jax.random.PRNGKey(3))
+    assert z.shape == (8, 2) and logp.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(logp)))
+
+
+def test_vn_equivariant_layers():
+    """VNLinear commutes with rotations (SO(3) equivariance)."""
+    from mpc_via_diffusion_model_tpu.models import VNLinear, VNLeakyReLU, knn, get_graph_feature
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 3))  # (B, C, 3)
+    layer = VNLinear(out_channels=6)
+    params = layer.init(jax.random.PRNGKey(1), x)
+    # rotation about z by 0.7 rad
+    c, s = np.cos(0.7), np.sin(0.7)
+    rot = jnp.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], jnp.float32)
+    out_then_rot = jnp.einsum("ij,bcj->bci", rot, layer.apply(params, x))
+    rot_then_out = layer.apply(params, jnp.einsum("ij,bcj->bci", rot, x))
+    np.testing.assert_allclose(np.asarray(out_then_rot), np.asarray(rot_then_out), rtol=1e-4, atol=1e-5)
+
+    pts = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 10))  # (B, 3, N)
+    idx = knn(pts, k=4)
+    assert idx.shape == (2, 10, 4)
+    feat = get_graph_feature(pts, k=4)
+    assert feat.shape == (2, 2, 3, 10, 4)
+
+    relu = VNLeakyReLU(in_channels=4)
+    p2 = relu.init(jax.random.PRNGKey(3), x)
+    out = relu.apply(p2, x)
+    assert out.shape == x.shape

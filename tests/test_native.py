@@ -1,0 +1,67 @@
+"""csstore C++ shard store: round trip, zero-copy, concat."""
+import numpy as np
+import pytest
+
+from mpc_via_diffusion_model_tpu.native import (
+    concat_stores,
+    csstore_available,
+    read_store,
+    write_store,
+)
+
+pytestmark = pytest.mark.skipif(not csstore_available(), reason="g++ toolchain unavailable")
+
+
+def test_round_trip(tmp_path):
+    rng = np.random.RandomState(0)
+    tensors = {
+        "inputs": rng.randn(100, 64, 1).astype(np.float32),
+        "condition": rng.randn(100, 5).astype(np.float32),
+        "steps": np.arange(100, dtype=np.int64),
+    }
+    p = str(tmp_path / "shard.css")
+    write_store(p, tensors)
+    out = read_store(p)
+    assert set(out) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(out[k], tensors[k])
+    # views are read-only (they alias the mmap)
+    with pytest.raises(ValueError):
+        out["inputs"][0, 0, 0] = 1.0
+
+
+def test_concat(tmp_path):
+    rng = np.random.RandomState(1)
+    shards = []
+    all_u, all_x = [], []
+    for i in range(3):
+        u = rng.randn(10 + i, 8, 1).astype(np.float32)
+        x = rng.randn(10 + i, 4).astype(np.float32)
+        p = str(tmp_path / f"shard{i}.css")
+        write_store(p, {"u": u, "x": x})
+        shards.append(p)
+        all_u.append(u)
+        all_x.append(x)
+    out_p = str(tmp_path / "merged.css")
+    concat_stores(shards, out_p)
+    merged = read_store(out_p)
+    np.testing.assert_array_equal(merged["u"], np.concatenate(all_u, axis=0))
+    np.testing.assert_array_equal(merged["x"], np.concatenate(all_x, axis=0))
+
+
+def test_concat_shape_mismatch_rejected(tmp_path):
+    p1, p2 = str(tmp_path / "a.css"), str(tmp_path / "b.css")
+    write_store(p1, {"u": np.zeros((4, 8), np.float32)})
+    write_store(p2, {"u": np.zeros((4, 9), np.float32)})
+    with pytest.raises(IOError):
+        concat_stores([p1, p2], str(tmp_path / "out.css"))
+
+
+def test_open_missing_file():
+    with pytest.raises(IOError):
+        read_store("/nope/missing.css")
+
+
+def test_unsupported_dtype(tmp_path):
+    with pytest.raises(TypeError):
+        write_store(str(tmp_path / "x.css"), {"u": np.zeros(3, np.float64)})

@@ -1,0 +1,199 @@
+"""Motion-planning stack: SDF envs, guides, GPMP data gen, planner pipeline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+from mpc_via_diffusion_model_tpu.data.trajectories import (
+    TrajectoryDataset,
+    generate_trajectories_gpmp,
+)
+from mpc_via_diffusion_model_tpu.diffusion import (
+    GaussianDiffusion,
+    collision_avoidance_guide,
+    first_order_smoothness_guide,
+    gp_prior_guide,
+    last_point_guide,
+    make_guide,
+    multi_sphere_obstacle_guide,
+    smoothness_finite_difference_guide,
+    state_goal_guide,
+    control_effort_guide,
+)
+from mpc_via_diffusion_model_tpu.envs import ENV_SIMPLE_2D, PlanningEnv2D, make_random_env
+from mpc_via_diffusion_model_tpu.eval import get_best_index, planning_metrics
+from mpc_via_diffusion_model_tpu.control import make_planner
+from mpc_via_diffusion_model_tpu.models import TemporalUnet
+
+
+# ------------------------------------------------------------------ #
+# env / sdf
+# ------------------------------------------------------------------ #
+
+def test_sdf_circle_box_values():
+    env = PlanningEnv2D(
+        circles=jnp.array([[0.0, 0.0, 0.5]]),
+        boxes=jnp.array([[3.0, 0.0, 0.5, 0.5]]),  # spans [2.5, 3.5] x [-0.5, 0.5]
+    )
+    # outside circle: distance to surface
+    assert float(env.sdf(jnp.array([1.5, 0.0]))) == pytest.approx(1.0, abs=1e-5)
+    # inside circle: negative
+    assert float(env.sdf(jnp.array([0.0, 0.0]))) == pytest.approx(-0.5, abs=1e-5)
+    # box: outside above, inside at center
+    assert float(env.sdf(jnp.array([3.0, 1.0]))) == pytest.approx(0.5, abs=1e-5)
+    assert float(env.sdf(jnp.array([3.0, 0.0]))) == pytest.approx(-0.5, abs=1e-5)
+    # on the box boundary
+    assert float(env.sdf(jnp.array([2.5, 0.0]))) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_sdf_batched_and_differentiable():
+    env = ENV_SIMPLE_2D
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 2), minval=-1, maxval=1)
+    d = env.sdf(pts)
+    assert d.shape == (4, 16)
+    g = jax.grad(lambda p: jnp.sum(env.compute_collision_cost(p)))(pts)
+    assert g.shape == pts.shape
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_random_free_points():
+    env = ENV_SIMPLE_2D
+    pts = env.random_free_points(jax.random.PRNGKey(1), 32)
+    assert pts.shape == (32, 2)
+    assert np.all(np.asarray(env.sdf(pts)) > 0)
+
+
+# ------------------------------------------------------------------ #
+# guides
+# ------------------------------------------------------------------ #
+
+def test_guide_manager_composition_and_endpoints():
+    env = ENV_SIMPLE_2D
+    guide = make_guide(
+        [(collision_avoidance_guide(env), 1.0), (first_order_smoothness_guide(), 0.1)],
+        clip_grad=True, clip_grad_rule="norm", max_grad_norm=1.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 2)) * 0.5
+    g = guide(x)
+    assert g.shape == x.shape
+    # endpoints zeroed
+    np.testing.assert_allclose(np.asarray(g)[:, 0, :], 0.0)
+    np.testing.assert_allclose(np.asarray(g)[:, -1, :], 0.0)
+    # norm clipped
+    norms = np.linalg.norm(np.asarray(g).reshape(3, -1), axis=-1)
+    assert np.all(norms <= 1.0 + 1e-5)
+
+
+def test_individual_reward_fns_finite():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 4)) * 0.3
+    x2 = x[..., :2]
+    fns = [
+        smoothness_finite_difference_guide()(x2),
+        gp_prior_guide(dt=0.1)(x),  # needs even dim (q, qdot)
+        state_goal_guide(jnp.zeros(2), idx=5)(x2),
+        first_order_smoothness_guide()(x2),
+        last_point_guide(jnp.zeros(2))(x2),
+        multi_sphere_obstacle_guide(jnp.array([[0.0, 0.0]]), jnp.array([0.2]))(x2),
+    ]
+    for r in fns:
+        assert r.shape == (2,)
+        assert np.all(np.isfinite(np.asarray(r)))
+
+
+def test_control_effort_guide_matches_reference_form():
+    u = jnp.ones((2, 8, 1)) * 0.1
+    g = control_effort_guide(scale=1e-7)(u)
+    # 2*sum|u| = 1.6 > 1 -> clipped to 1 -> grad = -1e-7 everywhere
+    np.testing.assert_allclose(np.asarray(g), -1e-7, rtol=1e-5)
+
+
+def test_smoothness_guide_prefers_straight_lines():
+    smooth_fn = first_order_smoothness_guide()
+    t = jnp.linspace(0, 1, 16)[:, None]
+    straight = (t * jnp.array([1.0, 1.0]))[None]
+    wiggly = straight + 0.1 * jnp.sin(8 * jnp.pi * t)[None]
+    assert float(smooth_fn(straight)[0]) > float(smooth_fn(wiggly)[0])
+
+
+# ------------------------------------------------------------------ #
+# data generation + dataset
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def traj_data():
+    env = ENV_SIMPLE_2D
+    trajs, valid = generate_trajectories_gpmp(
+        env, jax.random.PRNGKey(0), n_tasks=6, n_trajs_per_task=4,
+        horizon=32, n_opt_steps=200,
+    )
+    return env, trajs, valid
+
+
+def test_gpmp_generation_mostly_valid(traj_data):
+    env, trajs, valid = traj_data
+    assert trajs.shape == (24, 32, 2)
+    # most optimized trajectories should be collision-free
+    assert float(jnp.mean(valid.astype(jnp.float32))) > 0.5
+    # endpoints are preserved exactly (start/goal fixed during optimization)
+    assert np.all(np.asarray(env.sdf(trajs[:, 0])) > 0)
+
+
+def test_trajectory_dataset(traj_data):
+    env, trajs, valid = traj_data
+    ds = TrajectoryDataset.from_arrays(np.asarray(trajs[valid]), env=env)
+    assert ds.state_dim == 2
+    b_trajs, b_tasks = ds.batch(jax.random.PRNGKey(0), 8)
+    assert b_trajs.shape == (8, 32, 2)
+    assert b_tasks.shape == (8, 4)
+    idx, values = ds.get_hard_conditions(trajs[0, 0], trajs[0, -1], n_samples=3)
+    assert list(np.asarray(idx)) == [0, 31]
+    assert values.shape == (3, 2, 2)
+    back = ds.unnormalize_trajectories(ds.trajs_normalized)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ds.trajs), atol=1e-4)
+
+
+def test_planning_metrics_and_best_index(traj_data):
+    env, trajs, valid = traj_data
+    m = planning_metrics(env, trajs)
+    for k in ("success", "fraction_free", "collision_intensity",
+              "path_length_mean", "smoothness_mean", "waypoint_variance"):
+        assert np.isfinite(m[k]), k
+    best = get_best_index(env, trajs)
+    assert 0 <= best < trajs.shape[0]
+
+
+# ------------------------------------------------------------------ #
+# planner pipeline (tiny model, untrained: checks the plumbing)
+# ------------------------------------------------------------------ #
+
+def test_planner_pipeline(traj_data):
+    env, trajs, valid = traj_data
+    ds = TrajectoryDataset.from_arrays(np.asarray(trajs), env=env)
+    model = TemporalUnet(
+        state_dim=2, n_support_points=32, unet_input_dim=8, dim_mults=(1, 2),
+        conditioning_type=None,
+    )
+    x = jnp.zeros((1, 32, 2))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 5))
+
+    guide = make_guide(
+        [(collision_avoidance_guide(env), 1.0)],
+        unnormalize_fn=ds.unnormalize_trajectories,
+        clip_grad=True, scale=0.1,
+    )
+    plan = make_planner(diffusion, model.apply, ds, n_samples=4,
+                        n_diffusion_steps_without_noise=2,
+                        n_post_diffusion_guide_steps=2)
+    start, goal = ds.trajs[0, 0], ds.trajs[0, -1]
+    result = plan(params, start, goal, jax.random.PRNGKey(3), guide=guide)
+    assert result.trajs.shape == (4, 32, 2)
+    # hard conditions pin start/goal after unnormalization
+    np.testing.assert_allclose(
+        result.trajs[:, 0, :], np.broadcast_to(np.asarray(start), (4, 2)), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        result.trajs[:, -1, :], np.broadcast_to(np.asarray(goal), (4, 2)), atol=1e-3
+    )
+    assert "fraction_free" in result.metrics
