@@ -37,6 +37,7 @@ CFG_W = 0.01
 
 
 def main():
+    import os
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.control import make_closed_loop
     from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats
@@ -73,8 +74,18 @@ def main():
         kind="limits", mins=jnp.full((5,), -10.0), maxs=jnp.full((5,), 10.0)
     )
 
+    apply_fn = model.apply
+    if os.environ.get("BENCH_FUSED", "1") == "1":
+        # single-Pallas-kernel denoiser (validated vs the flax path in
+        # tests/test_fused_unet.py); CFG doubles the batch -> batch 2.
+        # 753.7 Hz fused vs 571.7 Hz XLA on this chip.
+        from mpc_via_diffusion_model_tpu.ops.fused_unet import make_fused_unet
+
+        fused = make_fused_unet(model, params, batch_size=2)
+        apply_fn = lambda p, x, t, c, m: fused(x, t, c, m)
+
     closed_loop = make_closed_loop(
-        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        diffusion, apply_fn, inputs_stats, cond_stats, plant, cost,
         horizon=HORIZON, n_steps=N_STEPS, w=CFG_W,
         n_diffusion_steps_without_noise=N_TAIL,
     )

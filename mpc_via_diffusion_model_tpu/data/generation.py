@@ -159,6 +159,21 @@ def collect_closed_loop_dataset(
     x_cat = np.concatenate(x_all, axis=0)
     u_cat = np.concatenate(u_all, axis=0)
     j_cat = np.concatenate(j_all, axis=0)
+
+    # Solver-failure masking (SURVEY.md §5 hardening): the reference's
+    # collector silently keeps zero rows when an IPOPT group throws
+    # (`nmpc_multi_process_collect_data.py:317-318`); here non-finite
+    # solutions are dropped explicitly.
+    valid = (
+        np.all(np.isfinite(u_cat), axis=(1, 2))
+        & np.all(np.isfinite(x_cat), axis=1)
+        & np.isfinite(j_cat)
+    )
+    n_dropped = int((~valid).sum())
+    if n_dropped:
+        print(f"[collect_closed_loop_dataset] dropped {n_dropped} non-finite solver results")
+        u_cat, x_cat, j_cat = u_cat[valid], x_cat[valid], j_cat[valid]
+
     if return_arrays:
         return u_cat, x_cat, j_cat
     return ControlSequenceDataset.from_arrays(u_cat, x_cat, normalizer=normalizer)

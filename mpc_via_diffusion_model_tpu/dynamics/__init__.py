@@ -11,6 +11,7 @@ from .cartpole import (
 from .simple_plants import pendulum, pendulum_cost, double_integrator, double_integrator_cost
 from .acrobot import acrobot, acrobot_cost, theta1_to_star, theta2_to_star
 from .quadrotor import quadrotor, quadrotor_cost, obstacle_cost
+from .arm import panda_surrogate, panda_cost, panda_fk, panda_ee_velocity, panda_context
 
 PLANTS = {
     "cartpole_lmpc": (cartpole_lmpc, cartpole_lmpc_cost),
@@ -20,6 +21,7 @@ PLANTS = {
     "double_integrator": (double_integrator, double_integrator_cost),
     "acrobot": (acrobot, acrobot_cost),
     "quadrotor": (quadrotor, quadrotor_cost),
+    "panda_surrogate": (panda_surrogate, panda_cost),
 }
 
 

@@ -240,7 +240,13 @@ class Trainer:
         steps_per_validation: int = 10,
         early_stopper_patience: int = -1,
         log_fn: Callable[[str], None] = print,
+        summary_fn: Optional[Callable] = None,
+        metrics_writer=None,
     ) -> TrainState:
+        """``summary_fn(ema_params, key) -> dict`` runs every
+        ``steps_til_summary`` on the EMA model (the reference's
+        `do_summary` hook, `trainer.py:203-224`); results go to
+        ``metrics_writer`` (an `eval.summaries.MetricsWriter`) when given."""
         key = key if key is not None else jax.random.PRNGKey(0)
         stopper = EarlyStopper(early_stopper_patience)
         t0 = time.time()
@@ -255,13 +261,20 @@ class Trainer:
                 train_loss = float(metrics["loss"])
                 self.train_losses.append((it + 1, train_loss))
                 msg = f"step {it + 1}/{num_train_steps} loss {train_loss:.6f}"
+                record = {"train_loss": train_loss}
                 if val_dataset is not None:
                     val_loss = self.validate(val_dataset, batch_size, steps_per_validation, key)
                     self.val_losses.append((it + 1, val_loss))
+                    record["val_loss"] = val_loss
                     msg += f" val {val_loss:.6f}"
                     if stopper.early_stop(val_loss):
                         log_fn(f"early stop at step {it + 1}")
                         break
+                if summary_fn is not None:
+                    key, k_sum = jax.random.split(key)
+                    record.update(summary_fn(self.state.ema_params, k_sum))
+                if metrics_writer is not None:
+                    metrics_writer.log(record, step=it + 1)
                 msg += f" ({(it + 1 - start_step) / max(time.time() - t0, 1e-9):.1f} steps/s)"
                 log_fn(msg)
 
