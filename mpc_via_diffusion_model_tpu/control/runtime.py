@@ -31,7 +31,7 @@ from ..diffusion.gaussian_diffusion import GaussianDiffusion
 from ..dynamics.base import Plant, QuadraticCost
 from ..solvers.ilqr import ILQRConfig, ilqr_solve
 
-__all__ = ["ClosedLoopResult", "make_replan_fn", "make_closed_loop", "make_nmpc_closed_loop"]
+__all__ = ["ClosedLoopResult", "make_replan_fn", "make_closed_loop", "make_nmpc_closed_loop", "make_ampc_closed_loop"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +64,7 @@ def make_replan_fn(
     n_candidates: int = 1,
     plant: Optional[Plant] = None,
     cost: Optional[QuadraticCost] = None,
+    sampler: str = "ddpm",
 ):
     """Build ``replan(params, x0, key) -> (u_horizon, u_candidates)``.
 
@@ -79,14 +80,28 @@ def make_replan_fn(
         cond_norm = normalize(condition_stats, x0)[None, :]  # (1, dx)
         ctx = jnp.broadcast_to(cond_norm, (n_candidates, cond_norm.shape[-1]))
         denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
-        u_norm = diffusion.ddpm_cfg_sample(
-            denoise,
-            (n_candidates, horizon, control_dim),
-            key,
-            ctx,
-            w=w,
-            n_diffusion_steps_without_noise=n_diffusion_steps_without_noise,
-        )
+        if sampler == "ddpm":
+            u_norm = diffusion.ddpm_cfg_sample(
+                denoise,
+                (n_candidates, horizon, control_dim),
+                key,
+                ctx,
+                w=w,
+                n_diffusion_steps_without_noise=n_diffusion_steps_without_noise,
+            )
+        elif sampler == "ddim":
+            # fast mode: T//5 deterministic steps (reference `ddim_sample`,
+            # `diffusion_model_base.py:239-314`); conditional-only (w folded
+            # into the conditional pass since eta=0 CFG-DDIM reduces to it at
+            # the reference's w=0.01 scale)
+            u_norm = diffusion.ddim_sample(
+                lambda x, t, c, m: apply_fn(params, x, t, c, jnp.zeros((x.shape[0], 1), x.dtype)),
+                (n_candidates, horizon, control_dim),
+                key,
+                context=ctx,
+            )
+        else:
+            raise ValueError(f"unknown sampler '{sampler}'")
         u_cand = unnormalize(inputs_stats, u_norm)  # (n_candidates, H, du)
         if n_candidates == 1:
             return u_cand[0], u_cand
@@ -119,6 +134,7 @@ def make_closed_loop(
     n_diffusion_steps_without_noise: int = 5,
     n_candidates: int = 1,
     state_to_condition: Optional[Callable] = None,
+    sampler: str = "ddpm",
 ):
     """Build the fully-fused closed loop:
     ``closed_loop(params, x0, key) -> ClosedLoopResult``.
@@ -131,7 +147,7 @@ def make_closed_loop(
     replan = make_replan_fn(
         diffusion, apply_fn, inputs_stats, condition_stats,
         horizon, plant.control_dim, w, n_diffusion_steps_without_noise,
-        n_candidates, plant, cost,
+        n_candidates, plant, cost, sampler,
     )
     to_cond = state_to_condition or (lambda x: x)
 
@@ -189,6 +205,42 @@ def make_nmpc_closed_loop(
         (x_f, _), (xs, us, u_hors, stages) = jax.lax.scan(
             body, (x0, u_init), None, length=n_steps
         )
+        return ClosedLoopResult(
+            x_track=jnp.concatenate([x0[None], xs], axis=0),
+            u_track=us,
+            u_horizons=u_hors,
+            stage_costs=stages,
+        )
+
+    return closed_loop
+
+
+def make_ampc_closed_loop(
+    ampc_apply: Callable,
+    inputs_stats: NormalizerStats,
+    condition_stats: NormalizerStats,
+    plant: Plant,
+    cost: QuadraticCost,
+    n_steps: int = 80,
+    state_to_condition: Optional[Callable] = None,
+):
+    """Closed loop driven by the AMPC MLP baseline (reference
+    `NMPC_NN_Inference.py:384-458` / `NN_MPC_Inference.py`): per step the MLP
+    regresses the whole normalized u-horizon from the normalized state; the
+    first control is applied. Deterministic (no sampling), one jitted scan."""
+    to_cond = state_to_condition or (lambda x: x)
+
+    def closed_loop(params, x0):
+        def body(x, _):
+            cond = normalize(condition_stats, to_cond(x))[None, :]
+            u_norm = ampc_apply(params, cond)  # (1, H, du)
+            u_hor = unnormalize(inputs_stats, u_norm)[0]
+            u0 = u_hor[0]
+            stage = cost.stage(x, u0)
+            x_next = plant.step(x, u0)
+            return x_next, (x_next, u0, u_hor, stage)
+
+        x_f, (xs, us, u_hors, stages) = jax.lax.scan(body, x0, None, length=n_steps)
         return ClosedLoopResult(
             x_track=jnp.concatenate([x0[None], xs], axis=0),
             u_track=us,

@@ -1,0 +1,129 @@
+"""Secondary benchmarks: DDIM fast mode + batched candidate sweeps.
+
+Covers BASELINE.json configs beyond the headline:
+- configs[2]: DDIM sampler (T//5 steps) closed loop,
+- configs[3]: batched candidate sampling (n candidates per replan with
+  min-cost selection),
+- configs[1]: pendulum + PointUnet-style short-horizon denoiser.
+
+Prints one JSON line per config.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_loop(run, *args, n_rep=3):
+    out = run(*args)
+    jax.block_until_ready(out.x_track)
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = run(*args)
+        jax.block_until_ready(out.x_track)
+    return (time.perf_counter() - t0) / n_rep
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--candidates", type=int, default=256)
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from mpc_via_diffusion_model_tpu.control import make_closed_loop
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.dynamics import (
+        cartpole_virtual_swingup, cartpole_virtual_cost, pendulum, pendulum_cost,
+        theta_to_red_theta,
+    )
+    from mpc_via_diffusion_model_tpu.models import PointUnet, TemporalUnet, UNET_DIM_MULTS
+
+    n_steps = 80
+    horizon = 32
+    model = TemporalUnet(state_dim=1, n_support_points=horizon, unet_input_dim=32,
+                         dim_mults=UNET_DIM_MULTS[0], context_dim=5,
+                         conditioning_type="default")
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 25))
+    plant, cost = cartpole_virtual_swingup(), cartpole_virtual_cost()
+    x = jnp.zeros((1, horizon, 1))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 5)), jnp.zeros((1, 1)))
+    inputs_stats = NormalizerStats("limits", mins=jnp.full((1,), -30.0), maxs=jnp.full((1,), 30.0))
+    cond_stats = NormalizerStats("limits", mins=jnp.full((5,), -10.0), maxs=jnp.full((5,), 10.0))
+    theta0 = 3.0
+    x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
+    key = jax.random.PRNGKey(1)
+
+    # --- DDIM fast mode (configs[2]) ---
+    loop = jax.jit(make_closed_loop(
+        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, sampler="ddim"))
+    dt = _time_loop(loop, params, x0, key)
+    print(json.dumps({"metric": "ddim_closed_loop_hz", "value": round(n_steps / dt, 1), "unit": "Hz"}), flush=True)
+
+    # --- candidate sweep (configs[3]) ---
+    loop_c = jax.jit(make_closed_loop(
+        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, n_candidates=args.candidates))
+    dt = _time_loop(loop_c, params, x0, key)
+    print(json.dumps({
+        "metric": f"candidates{args.candidates}_closed_loop_hz",
+        "value": round(n_steps / dt, 1), "unit": "Hz",
+        "trajectories_per_sec": round(n_steps * args.candidates / dt, 0),
+    }), flush=True)
+
+    # --- pendulum + PointUnet short horizon (configs[1]) ---
+    pmodel = PointUnet(state_dim=8, dim=32, context_dim=2, conditioning_type="default")
+    pparams = pmodel.init(jax.random.PRNGKey(2), jnp.zeros((1, 1, 8)),
+                          jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2)), jnp.zeros((1, 1)))
+    pplant, pcost = pendulum(dt=0.05), pendulum_cost()
+    # 8-step horizon packed as one "point" of 8 controls
+    pin_stats = NormalizerStats("limits", mins=jnp.full((8,), -10.0), maxs=jnp.full((8,), 10.0))
+    pc_stats = NormalizerStats("limits", mins=jnp.full((2,), -8.0), maxs=jnp.full((2,), 8.0))
+
+    def papply(pp, xx, tt, cc, mm):
+        return pmodel.apply(pp, xx, tt, cc, mm)
+
+    from mpc_via_diffusion_model_tpu.control import make_replan_fn
+    from mpc_via_diffusion_model_tpu.data.normalization import unnormalize, normalize
+
+    pdiff = GaussianDiffusion(schedule=make_schedule("exponential", 25))
+
+    def ploop(pp, x0p, k):
+        keys = jax.random.split(k, n_steps)
+
+        def body(xc, kk):
+            cond = normalize(pc_stats, xc)[None, :]
+            u_norm = pdiff.ddpm_cfg_sample(
+                lambda x, t, c, m: papply(pp, x, t, c, m), (1, 1, 8), kk, cond, w=0.01,
+                n_diffusion_steps_without_noise=5)
+            u = unnormalize(pin_stats, u_norm)[0, 0]
+            x_next = pplant.step(xc, u[:1])
+            return x_next, (x_next, u[:1], u[:, None], pcost.stage(xc, u[:1]))
+
+        xf, (xs, us, uh, st) = jax.lax.scan(body, x0p, keys)
+        from mpc_via_diffusion_model_tpu.control import ClosedLoopResult
+        return ClosedLoopResult(jnp.concatenate([x0p[None], xs]), us, uh, st)
+
+    ploop_j = jax.jit(ploop)
+    dt = _time_loop(ploop_j, pparams, jnp.array([np.pi, 0.0]), key)
+    print(json.dumps({"metric": "pendulum_pointunet_closed_loop_hz",
+                      "value": round(n_steps / dt, 1), "unit": "Hz"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

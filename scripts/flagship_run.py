@@ -1,0 +1,178 @@
+"""End-to-end flagship run on TPU: collect -> train -> evaluate -> artifacts.
+
+The round-1 production demonstration: on-device iLQR expert data for the
+5-state swing-up cart-pole, 1M-param conditional U-Net trained with the
+scanned train step, closed-loop evaluation vs the NMPC expert with the
+reference's parity metrics. Artifacts land in artifacts/flagship/.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="artifacts/flagship")
+    p.add_argument("--grid-pos", type=int, default=5)
+    p.add_argument("--grid-theta", type=int, default=10)
+    p.add_argument("--steps", type=int, default=40, help="closed-loop collection steps")
+    p.add_argument("--noisy", type=int, default=5)
+    p.add_argument("--horizon", type=int, default=32)
+    p.add_argument("--train-steps", type=int, default=20000)
+    p.add_argument("--chunk", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mpc_via_diffusion_model_tpu.control import (
+        count_swing_modes, make_closed_loop, make_nmpc_closed_loop,
+        per_step_mpc_costs, track_parity,
+    )
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.generation import (
+        collect_closed_loop_dataset, make_initial_state_grid,
+    )
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant, theta_to_red_theta
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.solvers import ILQRConfig
+    from mpc_via_diffusion_model_tpu.train import (
+        TrainState, make_optimizer, make_scanned_train_steps, make_train_step,
+        save_checkpoint,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    plant, cost = get_plant("cartpole_virtual_swingup")
+
+    # ---------------- 1) expert data (on device) ----------------
+    t0 = time.time()
+    grid = make_initial_state_grid(
+        np.linspace(-1, 1, args.grid_pos),
+        np.linspace(3 * np.pi / 4, 5 * np.pi / 4, args.grid_theta),
+        state_dim=5, theta_to_virtual=theta_to_red_theta,
+    )
+    ds = collect_closed_loop_dataset(
+        plant, cost, grid, horizon=args.horizon, n_control_steps=args.steps,
+        solver_iterations=25, u_kick_scales=(5.0, -5.0),
+        noise_std=0.15, n_noisy=args.noisy, key=jax.random.PRNGKey(0),
+    )
+    t_collect = time.time() - t0
+    n_solves = ds.n_init
+    print(f"[collect] {ds.n_init} samples in {t_collect:.1f}s "
+          f"({n_solves / t_collect:.0f} iLQR solves/s)", flush=True)
+    ds.save(os.path.join(args.out, "dataset.npz"))
+
+    # ---------------- 2) train (scanned chunks) ----------------
+    model = TemporalUnet(
+        state_dim=1, n_support_points=args.horizon, unet_input_dim=32,
+        dim_mults=UNET_DIM_MULTS[0], context_dim=5, conditioning_type="default",
+    )
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 25))
+    x = jnp.zeros((2, args.horizon, 1))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, 5)), jnp.zeros((2, 1)))
+    optimizer = make_optimizer(lr=3e-3)
+    train_step = make_train_step(diffusion, model.apply, optimizer)
+    chunk_fn = make_scanned_train_steps(train_step, args.chunk)
+    chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
+
+    state = TrainState(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+        step=jnp.int32(0),
+    )
+    key = jax.random.PRNGKey(2)
+    t0 = time.time()
+    losses = []
+    n_chunks = args.train_steps // args.chunk
+    for c in range(n_chunks):
+        key, k = jax.random.split(key)
+        state, loss = chunk_jit(state, ds.inputs_normalized, ds.condition_normalized, k)
+        losses.append(float(loss))
+        if (c + 1) % max(1, n_chunks // 10) == 0:
+            rate = (c + 1) * args.chunk / (time.time() - t0)
+            print(f"[train] step {(c + 1) * args.chunk}/{args.train_steps} "
+                  f"loss {losses[-1]:.5f} ({rate:.0f} steps/s)", flush=True)
+    t_train = time.time() - t0
+    print(f"[train] done in {t_train:.1f}s; loss {losses[0]:.4f} -> {losses[-1]:.5f}", flush=True)
+    save_checkpoint(os.path.join(args.out, "checkpoints", "final.ckpt"), state,
+                    extra={"losses": losses})
+    np.save(os.path.join(args.out, "train_losses.npy"), np.asarray(losses))
+
+    # ---------------- 3) closed-loop evaluation ----------------
+    loop = jax.jit(make_closed_loop(
+        diffusion, model.apply, ds.normalizer.stats["inputs"],
+        ds.normalizer.stats["condition"], plant, cost,
+        horizon=args.horizon, n_steps=80, w=0.01, n_diffusion_steps_without_noise=5,
+    ))
+    theta0 = 3.0
+    x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
+    keys = jax.random.split(jax.random.PRNGKey(7), 10)
+    runs = jax.jit(jax.vmap(lambda k: loop(state.ema_params, x0, k)))(keys)
+
+    nmpc = jax.jit(make_nmpc_closed_loop(
+        plant, cost, ILQRConfig(horizon=args.horizon, n_iterations=25),
+        n_steps=80, u_init_scale=5.0))
+    expert = nmpc(x0)
+
+    one = jax.tree_util.tree_map(lambda a: a[0], runs)
+    parity = track_parity(one, expert)
+    c_diff = float(np.mean([float(np.sum(np.asarray(per_step_mpc_costs(
+        plant, cost, jax.tree_util.tree_map(lambda a: a[i], runs))))) for i in range(10)]))
+    c_mpc = float(np.sum(np.asarray(per_step_mpc_costs(plant, cost, expert))))
+    modes = count_swing_modes(np.asarray(runs.x_track))
+    cl_diff = float(np.mean(np.asarray(runs.stage_costs.sum(axis=1))))
+    cl_mpc = float(np.asarray(expert.stage_costs).sum())
+
+    report = {
+        "n_samples": ds.n_init,
+        "collect_seconds": round(t_collect, 1),
+        "solves_per_second": round(n_solves / t_collect, 1),
+        "train_steps": args.train_steps,
+        "train_seconds": round(t_train, 1),
+        "final_loss": losses[-1],
+        "parity": {k: round(v, 5) for k, v in parity.items()},
+        "closed_loop_cost_diffusion_mean10": round(cl_diff, 1),
+        "closed_loop_cost_nmpc": round(cl_mpc, 1),
+        "horizon_cost_diffusion_mean10": round(c_diff, 1),
+        "horizon_cost_nmpc": round(c_mpc, 1),
+        "modality": modes,
+    }
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+    np.save(os.path.join(args.out, "x_diffusion.npy"), np.asarray(runs.x_track))
+    np.save(os.path.join(args.out, "u_diffusion.npy"), np.asarray(runs.u_track))
+    np.save(os.path.join(args.out, "x_mpc.npy"), np.asarray(expert.x_track))
+    np.save(os.path.join(args.out, "u_mpc.npy"), np.asarray(expert.u_track))
+
+    from mpc_via_diffusion_model_tpu.eval.plotting import plot_closed_loop_comparison, save_fig
+    fig = plot_closed_loop_comparison(
+        [np.asarray(one.x_track), np.asarray(expert.x_track)],
+        [np.asarray(one.u_track), np.asarray(expert.u_track)],
+        labels=["diffusion", "nmpc"], dt=plant.dt,
+        state_names=["x", "xdot", "theta", "thetadot", "theta*"],
+    )
+    save_fig(fig, os.path.join(args.out, "comparison"))
+    print("artifacts in", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

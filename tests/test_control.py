@@ -148,3 +148,21 @@ def test_metrics(small_model, stats):
     tracks = np.stack([np.asarray(r1.x_track), np.asarray(r1.x_track)])
     modes = count_swing_modes(tracks)
     assert modes["left"] + modes["right"] == 2
+
+
+def test_ampc_closed_loop():
+    """MLP-baseline closed loop (reference NMPC_NN_Inference harness)."""
+    from mpc_via_diffusion_model_tpu.control import make_ampc_closed_loop
+    from mpc_via_diffusion_model_tpu.models import AMPCNet
+
+    plant = double_integrator()
+    cost = double_integrator_cost()
+    model = AMPCNet(horizon=8, control_dim=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))
+    inputs_stats = NormalizerStats("limits", mins=jnp.full((1,), -5.0), maxs=jnp.full((1,), 5.0))
+    cond_stats = NormalizerStats("limits", mins=jnp.full((2,), -3.0), maxs=jnp.full((2,), 3.0))
+    loop = make_ampc_closed_loop(model.apply, inputs_stats, cond_stats, plant, cost, n_steps=10)
+    r = jax.jit(loop)(params, jnp.array([1.0, 0.0]))
+    assert r.u_track.shape == (10, 1)
+    assert r.u_horizons.shape == (10, 8, 1)
+    assert np.all(np.isfinite(np.asarray(r.x_track)))

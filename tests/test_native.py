@@ -65,3 +65,24 @@ def test_open_missing_file():
 def test_unsupported_dtype(tmp_path):
     with pytest.raises(TypeError):
         write_store(str(tmp_path / "x.css"), {"u": np.zeros(3, np.float64)})
+
+
+def test_tracer_spans_and_dump(tmp_path):
+    import json
+    import time
+    from mpc_via_diffusion_model_tpu.native import Tracer
+
+    tr = Tracer(capacity=128)
+    with tr.span("outer"):
+        time.sleep(0.002)
+        with tr.span("inner"):
+            time.sleep(0.001)
+    tr.instant("marker")
+    assert tr.count() == 3
+    p = str(tmp_path / "trace.json")
+    tr.dump(p)
+    data = json.load(open(p))
+    names = [e["name"] for e in data["traceEvents"]]
+    assert set(names) == {"outer", "inner", "marker"}
+    durs = {e["name"]: e.get("dur") for e in data["traceEvents"] if e["ph"] == "X"}
+    assert durs["outer"] >= durs["inner"] > 500  # us

@@ -197,3 +197,34 @@ def test_planner_pipeline(traj_data):
         result.trajs[:, -1, :], np.broadcast_to(np.asarray(goal), (4, 2)), atol=1e-3
     )
     assert "fraction_free" in result.metrics
+
+
+def test_quadrotor_obstacle_guidance():
+    """BASELINE configs[4]: obstacle-avoidance cost guidance on the 12-state
+    quadrotor — the guide gradient pushes sampled position trajectories away
+    from sphere obstacles."""
+    from mpc_via_diffusion_model_tpu.dynamics import obstacle_cost
+
+    centers = jnp.array([[0.0, 0.0, 1.0]])
+    radii = jnp.array([0.5])
+
+    def reward(x):
+        return -obstacle_cost(x, centers, radii)
+
+    guide = make_guide([(reward, 1.0)], zero_endpoints=False, scale=0.05)
+    # trajectory passing straight through the obstacle
+    t = jnp.linspace(-1, 1, 16)
+    traj = jnp.stack([t, jnp.zeros_like(t), jnp.ones_like(t)], axis=-1)[None]  # (1, 16, 3)
+    traj = jnp.concatenate([traj, jnp.zeros((1, 16, 9))], axis=-1)  # pad to 12 states
+    g = guide(traj)
+    assert g.shape == traj.shape
+    # gradient pushes the mid-trajectory position components away (nonzero)
+    mid = np.asarray(g)[0, 8, :3]
+    assert np.any(np.abs(mid) > 0)
+    # applying a few guide steps reduces the obstacle cost
+    c0 = float(obstacle_cost(traj, centers, radii)[0])
+    x = traj
+    for _ in range(20):
+        x = x + guide(x)
+    c1 = float(obstacle_cost(x, centers, radii)[0])
+    assert c1 < c0

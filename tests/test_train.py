@@ -137,3 +137,29 @@ def test_trainer_fit_and_resume(setup, tmp_path):
     assert int(trainer2.state.step) == 20
     trainer2.fit(ds, num_train_steps=25, batch_size=16, steps_til_summary=100, log_fn=lambda s: None)
     assert int(trainer2.state.step) == 25
+
+
+def test_scanned_train_steps(setup):
+    """One dispatch per chunk must give the same kind of progress as the
+    per-step loop and advance the step counter by n_inner."""
+    from mpc_via_diffusion_model_tpu.train import make_scanned_train_steps
+
+    model, diffusion, params = setup
+    optimizer = make_optimizer(1e-3)
+    step = make_train_step(diffusion, model.apply, optimizer, step_start_ema=10, update_ema_every=2)
+    chunk = make_scanned_train_steps(step, n_inner=50)
+    chunk_jit = jax.jit(lambda st, a, b, k: chunk(st, a, b, k, 16))
+    state = _mk_state(params, optimizer)
+
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(128, 1, 2) * 0.5, jnp.float32)
+    cond = jnp.asarray(rng.randn(128, 3) * 0.5, jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(6):
+        key, k = jax.random.split(key)
+        state, loss = chunk_jit(state, inputs, cond, k)
+        losses.append(float(loss))
+    assert int(state.step) == 300
+    assert losses[-1] < losses[0]
