@@ -6,5 +6,5 @@ from .normalization import (
     unnormalize,
     canonical_kind,
 )
-from .datasets import ControlSequenceDataset, train_val_split
+from .datasets import ControlSequenceDataset, train_val_split, specified_split
 from .trajectories import TrajectoryDataset, generate_trajectories_gpmp

@@ -145,3 +145,37 @@ def train_val_split(n: int, val_fraction: float = 0.05, seed: int = 0) -> Tuple[
     perm = rng.permutation(n)
     n_val = max(1, int(round(n * val_fraction)))
     return perm[n_val:], perm[:n_val]
+
+
+def specified_split(
+    normal_pos_range,
+    normal_neg_range,
+    noisy_pos_range,
+    noisy_neg_range,
+    val_fraction: float = 0.05,
+):
+    """Interleaved pos/neg normal/noisy index split (reference
+    `get_specified_dataset`, `train_loaders.py:141-202`): the first
+    (1 - val_fraction) of each range goes to train, the tail to validation;
+    pos/neg indices are interleaved pairwise so batches stay balanced across
+    the two swing-up basins.
+
+    Returns (train_indices, val_indices) as numpy int arrays.
+    """
+
+    def split(rng):
+        idx = list(rng)
+        n_train = int((1 - val_fraction) * len(idx))
+        return idx[:n_train], idx[n_train:]
+
+    tr_np, va_np = split(normal_pos_range)
+    tr_nn, va_nn = split(normal_neg_range)
+    tr_zp, va_zp = split(noisy_pos_range)
+    tr_zn, va_zn = split(noisy_neg_range)
+
+    def interleave(a, b):
+        return [v for pair in zip(a, b) for v in pair]
+
+    train = interleave(tr_np, tr_nn) + interleave(tr_zp, tr_zn)
+    val = interleave(va_np, va_nn) + interleave(va_zp, va_zn)
+    return np.asarray(train, dtype=np.int64), np.asarray(val, dtype=np.int64)

@@ -1,5 +1,8 @@
 """Denoiser networks and baselines (flax.linen, channel-last)."""
 from .layers import (
+    GaussianFourierProjection,
+    ResnetBlockFC,
+    SpatialSoftArgmax,
     mish,
     group_norm_n_groups,
     SinusoidalPosEmb,

@@ -39,6 +39,9 @@ __all__ = [
     "MLP",
     "TemporalBlockMLP",
     "ACTIVATIONS",
+    "GaussianFourierProjection",
+    "ResnetBlockFC",
+    "SpatialSoftArgmax",
 ]
 
 
@@ -259,3 +262,69 @@ class TemporalBlockMLP(nn.Module):
         h = MLP(self.out_channels, hidden_dim=self.out_channels, n_layers=0, act="mish")(x)
         cond = nn.Dense(self.out_channels)(mish(c))
         return mish(h + cond)
+
+
+class GaussianFourierProjection(nn.Module):
+    """Fixed random Fourier features for time encoding (reference
+    `layers.py:85-96`; weights frozen at init)."""
+
+    embed_dim: int
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "W", lambda k, s: jax.random.normal(k, s) * self.scale, (self.embed_dim // 2,)
+        )
+        w = jax.lax.stop_gradient(w)
+        proj = x[:, None] * w[None, :] * 2.0 * jnp.pi
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class ResnetBlockFC(nn.Module):
+    """Fully-connected ResNet block with zero-initialised second layer
+    (reference `layers.py:39-82`)."""
+
+    size_out: int
+    size_h: int | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        size_in = x.shape[-1]
+        size_h = self.size_h or min(size_in, self.size_out)
+        net = nn.Dense(size_h)(jax.nn.relu(x))
+        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros)(jax.nn.relu(net))
+        if size_in == self.size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(self.size_out, use_bias=False)(x)
+        return x_s + dx
+
+
+class SpatialSoftArgmax(nn.Module):
+    """Spatial soft-argmax over (B, C, H, W) feature maps (reference
+    `layers.py:100-168`): temperature-scaled spatial softmax -> expected
+    pixel coordinates, (B, C*2)."""
+
+    normalize: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.ndim == 4, "expecting (B, C, H, W)"
+        b, c, h, w = x.shape
+        temperature = self.param("temperature", nn.initializers.ones, (1,))
+        logits = (x * (h * w / temperature)).reshape(b * c, h * w)
+        sm = jax.nn.softmax(logits, axis=-1)  # flattened row-major (r * w + c)
+        if self.normalize:
+            rows = jnp.linspace(-1.0, 1.0, h)
+            cols = jnp.linspace(-1.0, 1.0, w)
+        else:
+            rows = jnp.arange(h, dtype=jnp.float32)
+            cols = jnp.arange(w, dtype=jnp.float32)
+        row_grid = jnp.repeat(rows, w)  # index r*w+c -> row r
+        col_grid = jnp.tile(cols, h)  # index r*w+c -> col c
+        row_mean = jnp.sum(sm * row_grid[None, :], axis=-1, keepdims=True)
+        col_mean = jnp.sum(sm * col_grid[None, :], axis=-1, keepdims=True)
+        # (row, col) expected-coordinate pairs, matching the reference's own
+        # __main__ assertion (`layers.py:432-447`)
+        return jnp.concatenate([row_mean, col_mean], axis=-1).reshape(b, c * 2)

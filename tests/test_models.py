@@ -203,3 +203,36 @@ def test_vn_equivariant_layers():
     p2 = relu.init(jax.random.PRNGKey(3), x)
     out = relu.apply(p2, x)
     assert out.shape == x.shape
+
+
+def test_extra_layers():
+    """GaussianFourierProjection, ResnetBlockFC, SpatialSoftArgmax parity
+    (reference layers.py:39-168; SpatialSoftArgmax checked with the same
+    delta-peak assertion as the reference's __main__ block, layers.py:432-447)."""
+    from mpc_via_diffusion_model_tpu.models import (
+        GaussianFourierProjection, ResnetBlockFC, SpatialSoftArgmax,
+    )
+
+    gfp = GaussianFourierProjection(embed_dim=16)
+    t = jnp.linspace(0, 1, 5)
+    p = gfp.init(jax.random.PRNGKey(0), t)
+    out = gfp.apply(p, t)
+    assert out.shape == (5, 16)
+
+    blk = ResnetBlockFC(size_out=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6))
+    pb = blk.init(jax.random.PRNGKey(2), x)
+    assert blk.apply(pb, x).shape == (4, 8)
+
+    # delta peaks recover their own coordinates (reference assert)
+    b, c, h, w = 1, 3, 12, 12
+    rng = np.random.RandomState(0)
+    true_max = rng.randint(0, 12, size=(b, c, 2))
+    img = np.zeros((b, c, h, w), np.float32)
+    for i in range(b):
+        for j in range(c):
+            img[i, j, true_max[i, j, 0], true_max[i, j, 1]] = 1000.0
+    ssa = SpatialSoftArgmax(normalize=False)
+    ps = ssa.init(jax.random.PRNGKey(3), jnp.asarray(img))
+    coords = np.asarray(ssa.apply(ps, jnp.asarray(img))).reshape(b, c, 2)
+    np.testing.assert_allclose(coords, true_max.astype(np.float32), atol=1e-3)
