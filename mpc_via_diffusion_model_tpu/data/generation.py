@@ -177,3 +177,16 @@ def collect_closed_loop_dataset(
     if return_arrays:
         return u_cat, x_cat, j_cat
     return ControlSequenceDataset.from_arrays(u_cat, x_cat, normalizer=normalizer)
+
+
+def make_acrobot_grid(theta1_range, theta2_range) -> np.ndarray:
+    """(theta1 x theta2) initial grid for the 6-state acrobot with virtual
+    angles (reference `acrobots_nmpc.py:63-75`): state = (theta1, theta2,
+    0, 0, theta1*, theta2*)."""
+    from ..dynamics.acrobot import theta1_to_star, theta2_to_star
+
+    out = []
+    for t1 in np.asarray(theta1_range):
+        for t2 in np.asarray(theta2_range):
+            out.append([t1, t2, 0.0, 0.0, float(theta1_to_star(t1)), float(theta2_to_star(t2))])
+    return np.asarray(out, dtype=np.float32)

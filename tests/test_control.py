@@ -166,3 +166,31 @@ def test_ampc_closed_loop():
     assert r.u_track.shape == (10, 1)
     assert r.u_horizons.shape == (10, 8, 1)
     assert np.all(np.isfinite(np.asarray(r.x_track)))
+
+
+def test_panda_config_replan():
+    """The reference's Panda workload shape: 20-dim context, 7 control
+    channels, horizon 128 (inference_diffusion_panda.py:28-31,377-399)."""
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant, panda_context
+
+    plant, cost = get_plant("panda_surrogate")
+    model = TemporalUnet(
+        state_dim=7, n_support_points=128, unet_input_dim=8, dim_mults=(1, 2),
+        context_dim=20, conditioning_type="default",
+    )
+    x = jnp.zeros((1, 128, 7))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 20)), jnp.zeros((1, 1)))
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 5))
+    inputs_stats = NormalizerStats("limits", mins=jnp.full((7,), -50.0), maxs=jnp.full((7,), 50.0))
+    cond_stats = NormalizerStats("limits", mins=jnp.full((20,), -5.0), maxs=jnp.full((20,), 5.0))
+    loop = make_closed_loop(
+        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        horizon=128, n_steps=3, n_diffusion_steps_without_noise=1,
+        state_to_condition=panda_context,
+    )
+    x0 = jnp.concatenate([jnp.full((7,), 0.3), jnp.zeros(7)])
+    r = jax.jit(loop)(params, x0, jax.random.PRNGKey(1))
+    assert r.u_track.shape == (3, 7)
+    assert r.u_horizons.shape == (3, 128, 7)
+    assert np.all(np.isfinite(np.asarray(r.x_track)))

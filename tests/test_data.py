@@ -101,3 +101,22 @@ def test_collect_closed_loop_dataset_small():
         u_kick_scales=(0.0,), n_noisy=0, key=jax.random.PRNGKey(0),
     )
     assert ds.n_init == 6
+
+
+def test_acrobot_grid_and_collection_smoke():
+    """Acrobot workload (reference Acrobots/acrobots_nmpc.py): grid + a tiny
+    on-device closed-loop collection."""
+    from mpc_via_diffusion_model_tpu.data.generation import make_acrobot_grid
+    from mpc_via_diffusion_model_tpu.dynamics import acrobot, acrobot_cost
+
+    grid = make_acrobot_grid(np.linspace(-np.pi / 2, np.pi / 2, 2),
+                             np.linspace(-np.pi / 2, np.pi / 2, 2))
+    assert grid.shape == (4, 6)
+    plant, cost = acrobot(), acrobot_cost()
+    u, x, j = collect_closed_loop_dataset(
+        plant, cost, grid, horizon=8, n_control_steps=3, solver_iterations=5,
+        u_kick_scales=(40.0, -40.0), n_noisy=0, key=jax.random.PRNGKey(0),
+        return_arrays=True,
+    )
+    assert u.shape[0] == 4 * 2 * 3
+    assert np.all(np.isfinite(u))
