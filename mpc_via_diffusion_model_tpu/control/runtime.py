@@ -65,19 +65,23 @@ def make_replan_fn(
     plant: Optional[Plant] = None,
     cost: Optional[QuadraticCost] = None,
     sampler: str = "ddpm",
+    state_to_condition: Optional[Callable] = None,
 ):
     """Build ``replan(params, x0, key) -> (u_horizon, u_candidates)``.
 
-    normalize x0 -> CFG-sample n_candidates horizons -> unnormalize ->
-    (optionally) pick the min-rollout-cost candidate. Matches the reference
-    pipeline `Diffusion_MPC_Inference.py:195-258` (normalize_condition ->
-    run_CFG -> unnormalize_states -> u[0]).
+    ``x0`` is the PLANT state; ``state_to_condition`` (identity by default)
+    maps it to the conditioning vector. normalize -> CFG-sample n_candidates
+    horizons -> unnormalize -> (optionally) pick the min-rollout-cost
+    candidate, with the rollout seeded from the plant state. Matches the
+    reference pipeline `Diffusion_MPC_Inference.py:195-258`
+    (normalize_condition -> run_CFG -> unnormalize_states -> u[0]).
     """
     if n_candidates > 1:
         assert plant is not None and cost is not None, "candidate selection needs plant+cost"
+    to_cond = state_to_condition or (lambda x: x)
 
     def replan(params, x0, key):
-        cond_norm = normalize(condition_stats, x0)[None, :]  # (1, dx)
+        cond_norm = normalize(condition_stats, to_cond(x0))[None, :]  # (1, dx)
         ctx = jnp.broadcast_to(cond_norm, (n_candidates, cond_norm.shape[-1]))
         denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
         if sampler == "ddpm":
@@ -147,16 +151,15 @@ def make_closed_loop(
     replan = make_replan_fn(
         diffusion, apply_fn, inputs_stats, condition_stats,
         horizon, plant.control_dim, w, n_diffusion_steps_without_noise,
-        n_candidates, plant, cost, sampler,
+        n_candidates, plant, cost, sampler, state_to_condition,
     )
-    to_cond = state_to_condition or (lambda x: x)
 
     def closed_loop(params, x0, key):
         # all replan keys derived in one split outside the scan
         replan_keys = jax.random.split(key, n_steps)
 
         def body(x, k_replan):
-            u_hor, _ = replan(params, to_cond(x), k_replan)
+            u_hor, _ = replan(params, x, k_replan)
             u0 = u_hor[0]
             stage = cost.stage(x, u0)
             x_next = plant.step(x, u0)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Plant, QuadraticCost
+from ..utils.precision import hmatmul
 
 __all__ = ["panda_surrogate", "panda_cost", "panda_fk", "panda_ee_velocity", "panda_context"]
 
@@ -66,9 +67,9 @@ def panda_fk(q: jnp.ndarray) -> jnp.ndarray:
                 [0.0, 0.0, 0.0, 1.0],
             ]
         )
-        t = t @ ti
+        t = hmatmul(t, ti)
     flange = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, _FLANGE_D], [0, 0, 0, 1.0]])
-    t = t @ flange
+    t = hmatmul(t, flange)
     return t[:3, 3]
 
 
@@ -76,7 +77,7 @@ def panda_ee_velocity(q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
     """EE linear velocity = J(q) qdot with J from jax.jacobian (the reference
     uses the MuJoCo Jacobian, `inference_diffusion_panda.py:308-319`)."""
     jac = jax.jacobian(panda_fk)(q)  # (3, 7)
-    return jac @ qd
+    return hmatmul(jac, qd)
 
 
 def panda_context(x: jnp.ndarray) -> jnp.ndarray:

@@ -101,12 +101,11 @@ def write_store(path: str, tensors: Dict[str, np.ndarray]) -> None:
         raise IOError(f"css_write failed with code {rc} for {path}")
 
 
-class _StoreView(dict):
-    """Dict of name -> numpy view; keeps the mmap handle alive and closes it
-    when garbage-collected."""
+class _StoreHandle:
+    """Owns the mmap; closed when the LAST referencing array dies (every
+    returned array holds a reference via the `_MappedArray` subclass)."""
 
     def __init__(self, handle, lib):
-        super().__init__()
         self._handle = handle
         self._lib = lib
 
@@ -119,13 +118,29 @@ class _StoreView(dict):
             pass
 
 
+class _MappedArray(np.ndarray):
+    """ndarray view over the mmap that keeps the store handle alive.
+
+    Without this, `arr = read_store(p)['x']` would let the dict (and the
+    mmap) be garbage-collected while `arr` still points into the unmapped
+    pages -> SIGSEGV on the next read."""
+
+    _store: "_StoreHandle" = None
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self._store = getattr(obj, "_store", None)
+
+
 def read_store(path: str) -> Dict[str, np.ndarray]:
-    """Open a store; values are zero-copy numpy views over the mmap."""
+    """Open a store; values are zero-copy numpy views over the mmap. Each
+    array keeps the mapping alive for its own lifetime."""
     lib = _load()
     h = lib.css_open(path.encode())
     if not h:
         raise IOError(f"css_open failed for {path}")
-    view = _StoreView(h, lib)
+    store = _StoreHandle(h, lib)
+    out: Dict[str, np.ndarray] = {}
     n = lib.css_n_tensors(h)
     for i in range(n):
         name = lib.css_name(h, i).decode()
@@ -137,10 +152,11 @@ def read_store(path: str) -> Dict[str, np.ndarray]:
         ptr = lib.css_data(h, i)
         size = int(np.prod(shape)) * np.dtype(dtype).itemsize
         buf = (ctypes.c_char * size).from_address(ptr)
-        arr = np.frombuffer(buf, dtype=dtype).reshape(shape)
+        arr = np.frombuffer(buf, dtype=dtype).reshape(shape).view(_MappedArray)
+        arr._store = store
         arr.flags.writeable = False
-        view[name] = arr
-    return view
+        out[name] = arr
+    return out
 
 
 def concat_stores(paths: Sequence[str], out_path: str) -> None:

@@ -136,11 +136,11 @@ def fused_conv1d_gn_mish(
 ) -> jnp.ndarray:
     """Fused Conv1d(k5,'same') + GroupNorm + Mish; Pallas on TPU, XLA
     reference elsewhere. Shapes as `conv1d_gn_mish_reference`."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if interpret and jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
         # off-TPU: the XLA reference IS the implementation
         return conv1d_gn_mish_reference(x, w, b, gamma, beta, n_groups, pre_bias, eps)
+    if interpret is None:
+        interpret = False
 
     bsz, h, cin = x.shape
     cout = w.shape[-1]
@@ -157,5 +157,5 @@ def fused_conv1d_gn_mish(
         in_specs=[full(), full(), full(), full(), full(), full()],
         out_specs=full(),
         out_shape=jax.ShapeDtypeStruct((bsz, h, cout), x.dtype),
-        interpret=False,
+        interpret=interpret,
     )(x, w, b, gamma, beta, pb)

@@ -289,7 +289,8 @@ class Trainer:
                 msg = f"step {it + 1}/{num_train_steps} loss {train_loss:.6f}"
                 record = {"train_loss": train_loss}
                 if val_dataset is not None:
-                    val_loss = self.validate(val_dataset, batch_size, steps_per_validation, key)
+                    key, k_val = jax.random.split(key)
+                    val_loss = self.validate(val_dataset, batch_size, steps_per_validation, k_val)
                     self.val_losses.append((it + 1, val_loss))
                     record["val_loss"] = val_loss
                     msg += f" val {val_loss:.6f}"

@@ -99,13 +99,14 @@ def main():
 
     # multi-modality: repeated runs from the same x0 (different keys)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.sampling_times)
+    batched = jax.jit(jax.vmap(lambda k: loop(params, x0, k)))
     t0 = time.time()
-    first = loop(params, x0, keys[0])
-    jax.block_until_ready(first.x_track)
+    runs = batched(keys)
+    jax.block_until_ready(runs.x_track)
     t_compile = time.time() - t0
 
     t0 = time.time()
-    runs = jax.jit(jax.vmap(lambda k: loop(params, x0, k)))(keys)
+    runs = batched(keys)
     jax.block_until_ready(runs.x_track)
     t_diffusion = time.time() - t0
 

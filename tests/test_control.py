@@ -194,3 +194,31 @@ def test_panda_config_replan():
     assert r.u_track.shape == (3, 7)
     assert r.u_horizons.shape == (3, 128, 7)
     assert np.all(np.isfinite(np.asarray(r.x_track)))
+
+
+def test_candidate_selection_with_state_to_condition():
+    """Regression: with n_candidates > 1 and a non-identity
+    state_to_condition, the rollout must be seeded with the PLANT state (the
+    condition has different dims)."""
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant, panda_context
+
+    plant, cost = get_plant("panda_surrogate")
+    model = TemporalUnet(
+        state_dim=7, n_support_points=8, unet_input_dim=8, dim_mults=(1, 2),
+        context_dim=20, conditioning_type="default",
+    )
+    x = jnp.zeros((1, 8, 7))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 20)), jnp.zeros((1, 1)))
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 4))
+    inputs_stats = NormalizerStats("limits", mins=jnp.full((7,), -50.0), maxs=jnp.full((7,), 50.0))
+    cond_stats = NormalizerStats("limits", mins=jnp.full((20,), -5.0), maxs=jnp.full((20,), 5.0))
+    loop = make_closed_loop(
+        diffusion, model.apply, inputs_stats, cond_stats, plant, cost,
+        horizon=8, n_steps=2, n_diffusion_steps_without_noise=1,
+        n_candidates=4, state_to_condition=panda_context,
+    )
+    x0 = jnp.concatenate([jnp.full((7,), 0.2), jnp.zeros(7)])
+    r = jax.jit(loop)(params, x0, jax.random.PRNGKey(1))
+    assert r.u_track.shape == (2, 7)
+    assert np.all(np.isfinite(np.asarray(r.x_track)))

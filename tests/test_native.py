@@ -86,3 +86,24 @@ def test_tracer_spans_and_dump(tmp_path):
     assert set(names) == {"outer", "inner", "marker"}
     durs = {e["name"]: e.get("dur") for e in data["traceEvents"] if e["ph"] == "X"}
     assert durs["outer"] >= durs["inner"] > 500  # us
+
+
+def test_store_array_outlives_dict():
+    """An array extracted from read_store must keep the mmap alive after the
+    dict is dropped (regression for a dangling-mmap hazard)."""
+    import gc
+    import tempfile, os
+    import numpy as np
+    from mpc_via_diffusion_model_tpu.native import read_store, write_store
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "s.css")
+        data = np.arange(4096, dtype=np.float32).reshape(64, 64)
+        write_store(p, {"x": data})
+        arr = read_store(p)["x"]  # dict is immediately collectable
+        gc.collect()
+        np.testing.assert_array_equal(np.asarray(arr.sum()), data.sum())
+        sub = arr[3:5]
+        del arr
+        gc.collect()
+        np.testing.assert_array_equal(sub, data[3:5])
