@@ -70,6 +70,15 @@ class TemporalUnet(nn.Module):
     conditioning_type: Optional[str] = "default"
     attention_num_heads: int = 2
     attention_dim_head: int = 32
+    # Append an explicit context-present bit to the conditioning vector.
+    # The reference's CFG drops the context by ZEROING it
+    # (temporal_unet.py:296-300), which makes a dropped context
+    # indistinguishable from a genuine near-zero context — near the origin
+    # the model then samples from the MARGINAL u distribution (measured:
+    # 49% catastrophic-outlier rate at near-zero cart-pole states). The
+    # indicator removes the ambiguity. Off by default for reference parity /
+    # checkpoint compatibility.
+    cfg_indicator: bool = False
 
     @nn.compact
     def __call__(
@@ -92,7 +101,14 @@ class TemporalUnet(nn.Module):
         c_emb = t_emb
         ctx_seq = None
         if cond_type == "default":
-            c_emb = jnp.concatenate([t_emb, context], axis=-1)
+            parts = [t_emb, context]
+            if self.cfg_indicator:
+                if context_mask is not None:
+                    present = 1.0 - context_mask
+                else:
+                    present = jnp.ones((b, 1), x.dtype)
+                parts.append(present)
+            c_emb = jnp.concatenate(parts, axis=-1)
         elif cond_type == "concatenate":
             if self.state_dim < self.context_dim // 4:
                 state_emb_dim = self.context_dim // 4

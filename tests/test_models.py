@@ -236,3 +236,21 @@ def test_extra_layers():
     ps = ssa.init(jax.random.PRNGKey(3), jnp.asarray(img))
     coords = np.asarray(ssa.apply(ps, jnp.asarray(img))).reshape(b, c, 2)
     np.testing.assert_allclose(coords, true_max.astype(np.float32), atol=1e-3)
+
+
+def test_cfg_indicator_disambiguates_zero_context():
+    """With cfg_indicator=True, a DROPPED context must differ from a genuine
+    all-zero context (with zero-masking alone they are identical, which makes
+    near-origin conditioning collapse to the marginal — measured 49%%
+    catastrophic sampling outliers on the LMPC workload)."""
+    model = TemporalUnet(
+        state_dim=1, n_support_points=8, unet_input_dim=8, dim_mults=(1, 2),
+        context_dim=3, conditioning_type="default", cfg_indicator=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 1))
+    t = jnp.array([2, 2])
+    zero_ctx = jnp.zeros((2, 3))
+    params = model.init(jax.random.PRNGKey(1), x, t, zero_ctx, jnp.zeros((2, 1)))
+    out_given = model.apply(params, x, t, zero_ctx, jnp.zeros((2, 1)))  # genuine zero ctx
+    out_dropped = model.apply(params, x, t, zero_ctx, jnp.ones((2, 1)))  # dropped
+    assert float(jnp.max(jnp.abs(out_given - out_dropped))) > 1e-6
