@@ -81,6 +81,7 @@ def main():
     model = TemporalUnet(
         state_dim=1, n_support_points=args.horizon, unet_input_dim=32,
         dim_mults=UNET_DIM_MULTS[0], context_dim=5, conditioning_type="default",
+        cfg_indicator=True,  # disambiguate dropped vs genuinely-zero context
     )
     diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 25))
     x = jnp.zeros((2, args.horizon, 1))
