@@ -304,8 +304,12 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
 
     def fused(x, t, context, context_mask=None):
         assert x.shape[0] == b, f"fused kernel built for batch {b}, got {x.shape[0]}"
+        present = None
         if context is not None and context_mask is not None:
             context = context * (1.0 - context_mask)
+            present = 1.0 - context_mask
+        elif context is not None:
+            present = jnp.ones((x.shape[0], 1), x.dtype)
         # TimeEncoder XLA-side: SinusoidalPosEmb(32) -> Dense -> mish -> Dense
         half = 16
         emb_scale = np.log(10000.0) / (half - 1)
@@ -315,7 +319,12 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
         te = time_p
         h1 = mish(sin_emb @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"])
         t_emb = h1 @ te["Dense_1"]["kernel"] + te["Dense_1"]["bias"]
-        c_emb = jnp.concatenate([t_emb, context], axis=-1) if context is not None else t_emb
+        parts = [t_emb] + ([context] if context is not None else [])
+        if getattr(model, "cfg_indicator", False) and present is not None:
+            # the model's FiLM Dense layers were trained with the
+            # context-present bit appended (models/temporal_unet.py)
+            parts.append(present)
+        c_emb = jnp.concatenate(parts, axis=-1)
 
         mc = mish(c_emb)
         films = jnp.stack([

@@ -39,3 +39,19 @@ def test_fused_rejects_wrong_batch():
     fused = make_fused_unet(model, params, batch_size=2, interpret=True)
     with pytest.raises(AssertionError):
         fused(jnp.zeros((3, 16, 1)), jnp.zeros((3,), jnp.int32), jnp.zeros((3, 3)), jnp.zeros((3, 1)))
+
+
+def test_fused_matches_flax_with_cfg_indicator():
+    model = TemporalUnet(
+        state_dim=1, n_support_points=16, unet_input_dim=16, dim_mults=(1, 2),
+        context_dim=4, conditioning_type="default", cfg_indicator=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 1))
+    t = jnp.array([1, 7])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    mask = jnp.array([[0.0], [1.0]])
+    params = model.init(jax.random.PRNGKey(2), x, t, ctx, mask)
+    want = model.apply(params, x, t, ctx, mask)
+    fused = make_fused_unet(model, params, batch_size=2, interpret=True)
+    got = fused(x, t, ctx, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-5)
