@@ -65,10 +65,13 @@ def lqr_solve(
     p: jnp.ndarray,
     x0: jnp.ndarray,
     horizon: int,
+    gains: jnp.ndarray = None,
 ) -> LQRSolution:
     """Solve the finite-horizon LQR OCP from ``x0``; returns the open-loop
-    optimal control sequence, state trajectory, and cost."""
-    ks = lqr_gains(a, b, q, r, p, horizon)
+    optimal control sequence, state trajectory, and cost. Pass precomputed
+    ``gains`` (from `lqr_gains`) to skip the state-independent Riccati
+    recursion in receding-horizon loops."""
+    ks = gains if gains is not None else lqr_gains(a, b, q, r, p, horizon)
 
     def body(x, k_gain):
         u = -hmatmul(k_gain, x)

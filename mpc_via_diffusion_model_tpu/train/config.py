@@ -33,6 +33,9 @@ class ModelConfig:
     conditioning_type: Optional[str] = "default"
     attention_num_heads: int = 2
     attention_dim_head: int = 32
+    # CFG context-present indicator (see models/temporal_unet.py); changes
+    # the FiLM conditioning width, so it must be recorded per checkpoint.
+    cfg_indicator: bool = False
 
 
 @dataclasses.dataclass

@@ -47,9 +47,7 @@ def main():
     from mpc_via_diffusion_model_tpu.control import make_closed_loop, track_parity
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.control.runtime import ClosedLoopResult
-    from mpc_via_diffusion_model_tpu.data.generation import (
-        collect_lmpc_dataset, make_initial_state_grid,
-    )
+    from mpc_via_diffusion_model_tpu.data.generation import collect_lmpc_dataset
     from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
     from mpc_via_diffusion_model_tpu.dynamics import cartpole_lmpc, cartpole_lmpc_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
@@ -90,32 +88,32 @@ def main():
     # expert's own closed-loop states — the transient velocities the loop
     # actually visits lie OUTSIDE the grid's sigma=0.15 noise cloud, which is
     # where the reference-recipe model diverges.
-    from mpc_via_diffusion_model_tpu.solvers import lqr_gains as _lqr_gains
+    ks = lqr_gains(a, b, q, r, pmat, args.horizon)
 
     def expert_track(x0):
         def body(xx, _):
-            sol = lqr_solve(a, b, q, r, pmat, xx, args.horizon)
+            sol = lqr_solve(a, b, q, r, pmat, xx, args.horizon, gains=ks)
             return plant.step(xx, sol.us[0]), (xx, sol.us)
 
         _, (xs, us) = jax.lax.scan(body, x0, None, length=args.eval_steps)
         return xs, us
 
-    xs_cl, us_cl = jax.jit(jax.vmap(expert_track))(jnp.asarray(grid))
+    xs_cl, _ = jax.jit(jax.vmap(expert_track))(jnp.asarray(grid))
     x_cl = np.asarray(xs_cl).reshape(-1, 4)
-    u_cl = np.asarray(us_cl).reshape(-1, args.horizon, 1)
-    # noisy replicas of the on-policy states too
-    rng_np = np.random.RandomState(1)
-    reps = 4
-    x_cl_noisy = (x_cl[None] + rng_np.normal(0, 0.15, (reps,) + x_cl.shape)).reshape(-1, 4).astype(np.float32)
-    sol_noisy = jax.jit(jax.vmap(lambda xx: lqr_solve(a, b, q, r, pmat, xx, args.horizon).us))(
-        jnp.asarray(x_cl_noisy))
-    u_all = np.concatenate([np.asarray(ds_grid.inputs), u_cl, np.asarray(sol_noisy)], axis=0)
-    x_all = np.concatenate([np.asarray(ds_grid.condition), x_cl, x_cl_noisy], axis=0)
+    # on-policy states + their own noisy replicas through the SAME pipeline
+    # as the grid pass (data/generation.py)
+    ds_cl = collect_lmpc_dataset(
+        a, b, q, r, pmat, x_cl, horizon=args.horizon,
+        noise_std=0.15, n_noisy=4, key=jax.random.PRNGKey(1),
+    )
     from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
-    ds = ControlSequenceDataset.from_arrays(u_all, x_all)
+    ds = ControlSequenceDataset.from_arrays(
+        np.concatenate([np.asarray(ds_grid.inputs), np.asarray(ds_cl.inputs)], axis=0),
+        np.concatenate([np.asarray(ds_grid.condition), np.asarray(ds_cl.condition)], axis=0),
+    )
     t_collect = time.time() - t0
     print(f"[collect] {ds.n_init} LQR solves in {t_collect:.1f}s "
-          f"(grid {ds_grid.n_init} + on-policy {len(x_cl) * (1 + reps)})", flush=True)
+          f"(grid {ds_grid.n_init} + on-policy {ds_cl.n_init})", flush=True)
     ds.save(os.path.join(args.out, "dataset.npz"))
 
     # 2) train (flagship config at horizon 8)
@@ -136,13 +134,22 @@ def main():
                        optimizer.init(params), jnp.int32(0))
     key = jax.random.PRNGKey(2)
     t0 = time.time()
-    loss = None
-    for c in range(args.train_steps // 250):
+    loss = float("nan")
+    n_chunks = max(1, args.train_steps // 250)
+    steps_run = n_chunks * 250
+    for c in range(n_chunks):
         key, k = jax.random.split(key)
         state, loss = chunk_jit(state, ds.inputs_normalized, ds.condition_normalized, k)
     t_train = time.time() - t0
-    print(f"[train] {args.train_steps} steps in {t_train:.1f}s; final loss {float(loss):.5f}", flush=True)
+    print(f"[train] {steps_run} steps in {t_train:.1f}s; final loss {float(loss):.5f}", flush=True)
     save_checkpoint(os.path.join(args.out, "checkpoints", "final.ckpt"), state)
+    # EMA-only inference params + config record (the committed artifact)
+    import pickle
+    with open(os.path.join(args.out, "ema_params.pkl"), "wb") as f:
+        pickle.dump({
+            "ema_params": jax.tree_util.tree_map(np.asarray, state.ema_params),
+            "step": steps_run, "cfg_indicator": True, "horizon": args.horizon,
+        }, f)
 
     # 3) diffusion closed loop vs the exact LQR expert loop
     #    (n=1 like the reference, plus an 8-candidate min-cost variant)
@@ -159,11 +166,9 @@ def main():
         n_diffusion_steps_without_noise=5, n_candidates=8,
     ))
 
-    ks = lqr_gains(a, b, q, r, pmat, args.horizon)
-
     def lqr_loop(x0):
         def body(xx, _):
-            sol = lqr_solve(a, b, q, r, pmat, xx, args.horizon)
+            sol = lqr_solve(a, b, q, r, pmat, xx, args.horizon, gains=ks)
             u0 = sol.us[0]
             x_next = plant.step(xx, u0)
             return x_next, (x_next, u0, sol.us, cost.stage(xx, u0))
@@ -199,7 +204,7 @@ def main():
 
     report = {
         "n_samples": ds.n_init,
-        "train_steps": args.train_steps,
+        "train_steps": steps_run,
         "final_loss": float(loss),
         "eval_steps": args.eval_steps,
         "horizon": args.horizon,

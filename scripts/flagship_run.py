@@ -59,6 +59,15 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     plant, cost = get_plant("cartpole_virtual_swingup")
 
+    # record the run config (incl. cfg_indicator — it changes the FiLM width)
+    from mpc_via_diffusion_model_tpu.train import ExperimentConfig, ModelConfig
+    ExperimentConfig(
+        model=ModelConfig(state_dim=1, n_support_points=args.horizon,
+                          context_dim=5, cfg_indicator=True),
+        dataset_path=os.path.join(args.out, "dataset.npz"),
+        results_dir=args.out, plant="cartpole_virtual_swingup",
+    ).to_yaml(os.path.join(args.out, "args.yaml"))
+
     # ---------------- 1) expert data (on device) ----------------
     t0 = time.time()
     grid = make_initial_state_grid(

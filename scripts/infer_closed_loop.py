@@ -77,6 +77,7 @@ def main():
         unet_input_dim=model_cfg.unet_input_dim,
         dim_mults=UNET_DIM_MULTS[model_cfg.dim_mults_option],
         context_dim=model_cfg.context_dim, conditioning_type="default",
+        cfg_indicator=model_cfg.cfg_indicator,
     )
     diffusion = GaussianDiffusion(
         schedule=make_schedule(diff_cfg.variance_schedule, diff_cfg.n_diffusion_steps),

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--schedule", default="exponential")
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=0)
+    p.add_argument("--cfg-indicator", action="store_true",
+                   help="append a context-present bit to the conditioning (recommended)")
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -57,7 +59,7 @@ def main():
         model=ModelConfig(
             state_dim=ds.state_dim, n_support_points=ds.n_support_points,
             unet_input_dim=args.unet_dim, dim_mults_option=args.dim_mults_option,
-            context_dim=ds.condition_dim,
+            context_dim=ds.condition_dim, cfg_indicator=args.cfg_indicator,
         ),
         diffusion=DiffusionConfig(
             variance_schedule=args.schedule, n_diffusion_steps=args.n_diffusion_steps,
@@ -77,6 +79,7 @@ def main():
         dim_mults=UNET_DIM_MULTS[cfg.model.dim_mults_option],
         context_dim=cfg.model.context_dim,
         conditioning_type="default",
+        cfg_indicator=cfg.model.cfg_indicator,
     )
     diffusion = GaussianDiffusion(
         schedule=make_schedule(cfg.diffusion.variance_schedule, cfg.diffusion.n_diffusion_steps),
