@@ -23,6 +23,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="artifacts/flagship")
+    p.add_argument("--plant", default="cartpole", choices=["cartpole", "acrobot"])
     p.add_argument("--grid-pos", type=int, default=5)
     p.add_argument("--grid-theta", type=int, default=10)
     p.add_argument("--steps", type=int, default=40, help="closed-loop collection steps")
@@ -49,6 +50,7 @@ def main():
     )
     from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
     from mpc_via_diffusion_model_tpu.dynamics import get_plant, theta_to_red_theta
+    from mpc_via_diffusion_model_tpu.data.generation import make_acrobot_grid
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
     from mpc_via_diffusion_model_tpu.solvers import ILQRConfig
     from mpc_via_diffusion_model_tpu.train import (
@@ -57,27 +59,39 @@ def main():
     )
 
     os.makedirs(args.out, exist_ok=True)
-    plant, cost = get_plant("cartpole_virtual_swingup")
+    plant_name = "cartpole_virtual_swingup" if args.plant == "cartpole" else "acrobot"
+    plant, cost = get_plant(plant_name)
+    cond_dim = plant.state_dim
 
     # record the run config (incl. cfg_indicator — it changes the FiLM width)
     from mpc_via_diffusion_model_tpu.train import ExperimentConfig, ModelConfig
     ExperimentConfig(
         model=ModelConfig(state_dim=1, n_support_points=args.horizon,
-                          context_dim=5, cfg_indicator=True),
+                          context_dim=cond_dim, cfg_indicator=True),
         dataset_path=os.path.join(args.out, "dataset.npz"),
-        results_dir=args.out, plant="cartpole_virtual_swingup",
+        results_dir=args.out, plant=plant_name,
     ).to_yaml(os.path.join(args.out, "args.yaml"))
 
     # ---------------- 1) expert data (on device) ----------------
     t0 = time.time()
-    grid = make_initial_state_grid(
-        np.linspace(-1, 1, args.grid_pos),
-        np.linspace(3 * np.pi / 4, 5 * np.pi / 4, args.grid_theta),
-        state_dim=5, theta_to_virtual=theta_to_red_theta,
-    )
+    if args.plant == "cartpole":
+        grid = make_initial_state_grid(
+            np.linspace(-1, 1, args.grid_pos),
+            np.linspace(3 * np.pi / 4, 5 * np.pi / 4, args.grid_theta),
+            state_dim=5, theta_to_virtual=theta_to_red_theta,
+        )
+        kicks = (5.0, -5.0)
+    else:
+        # acrobot: (theta1 x theta2) grid over [-pi/2, pi/2]
+        # (reference acrobots_nmpc.py:63-75), +/-40 torque kicks (U_GUESS)
+        grid = make_acrobot_grid(
+            np.linspace(-np.pi / 2, np.pi / 2, args.grid_pos),
+            np.linspace(-np.pi / 2, np.pi / 2, args.grid_theta),
+        )
+        kicks = (40.0, -40.0)
     ds = collect_closed_loop_dataset(
         plant, cost, grid, horizon=args.horizon, n_control_steps=args.steps,
-        solver_iterations=25, u_kick_scales=(5.0, -5.0),
+        solver_iterations=25, u_kick_scales=kicks,
         noise_std=0.15, n_noisy=args.noisy, key=jax.random.PRNGKey(0),
     )
     t_collect = time.time() - t0
@@ -89,13 +103,13 @@ def main():
     # ---------------- 2) train (scanned chunks) ----------------
     model = TemporalUnet(
         state_dim=1, n_support_points=args.horizon, unet_input_dim=32,
-        dim_mults=UNET_DIM_MULTS[0], context_dim=5, conditioning_type="default",
+        dim_mults=UNET_DIM_MULTS[0], context_dim=cond_dim, conditioning_type="default",
         cfg_indicator=True,  # disambiguate dropped vs genuinely-zero context
     )
     diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 25))
     x = jnp.zeros((2, args.horizon, 1))
     params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((2,), jnp.int32),
-                        jnp.zeros((2, 5)), jnp.zeros((2, 1)))
+                        jnp.zeros((2, cond_dim)), jnp.zeros((2, 1)))
     optimizer = make_optimizer(lr=3e-3)
     train_step = make_train_step(diffusion, model.apply, optimizer)
     chunk_fn = make_scanned_train_steps(train_step, args.chunk)
@@ -131,14 +145,17 @@ def main():
         ds.normalizer.stats["condition"], plant, cost,
         horizon=args.horizon, n_steps=80, w=0.01, n_diffusion_steps_without_noise=5,
     ))
-    theta0 = 3.0
-    x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
+    if args.plant == "cartpole":
+        theta0 = 3.0
+        x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
+    else:
+        x0 = jnp.asarray(make_acrobot_grid([0.7], [-0.7])[0])
     keys = jax.random.split(jax.random.PRNGKey(7), 10)
     runs = jax.jit(jax.vmap(lambda k: loop(state.ema_params, x0, k)))(keys)
 
     nmpc = jax.jit(make_nmpc_closed_loop(
         plant, cost, ILQRConfig(horizon=args.horizon, n_iterations=25),
-        n_steps=80, u_init_scale=5.0))
+        n_steps=80, u_init_scale=kicks[0]))
     expert = nmpc(x0)
 
     one = jax.tree_util.tree_map(lambda a: a[0], runs)
@@ -178,7 +195,9 @@ def main():
         [np.asarray(one.x_track), np.asarray(expert.x_track)],
         [np.asarray(one.u_track), np.asarray(expert.u_track)],
         labels=["diffusion", "nmpc"], dt=plant.dt,
-        state_names=["x", "xdot", "theta", "thetadot", "theta*"],
+        state_names=(["x", "xdot", "theta", "thetadot", "theta*"]
+                     if args.plant == "cartpole"
+                     else ["th1", "th2", "dth1", "dth2", "th1*", "th2*"]),
     )
     save_fig(fig, os.path.join(args.out, "comparison"))
     print("artifacts in", args.out, flush=True)
