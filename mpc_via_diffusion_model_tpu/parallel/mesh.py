@@ -30,11 +30,17 @@ from ..train.trainer import TrainState, make_optimizer
 __all__ = ["make_mesh", "shard_batch", "replicate", "make_dp_train_step"]
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
     """Build a mesh over the first ``n_devices`` devices. 1-D ('data',) by
     default; pass axis_names=('data','model') with a 2-D shape via
-    `jax.sharding.Mesh` directly for hybrid layouts."""
-    devs = jax.devices()
+    `jax.sharding.Mesh` directly for hybrid layouts. ``devices`` overrides
+    the default device list (e.g. jax.devices('cpu') when another platform
+    is the default)."""
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), axis_names=axis_names)
 
