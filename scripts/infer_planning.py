@@ -19,7 +19,9 @@ import os
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", default=None, help="trained model ckpt; untrained demo if omitted")
+    p.add_argument("--checkpoint", default=None, help="trained model ckpt")
+    p.add_argument("--train-steps", type=int, default=0,
+                   help="train the denoiser on the generated trajectories first")
     p.add_argument("--n-samples", type=int, default=25)
     p.add_argument("--horizon", type=int, default=64)
     p.add_argument("--n-diffusion-steps", type=int, default=25)
@@ -69,6 +71,28 @@ def main():
     params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((1,), jnp.int32))
     if args.checkpoint:
         state, _ = load_checkpoint(args.checkpoint)
+        params = state.ema_params
+    elif args.train_steps > 0:
+        # train the unconditioned denoiser on the trajectory dataset
+        # (the reference's mpd training path, scripts/train_diffusion/train.py)
+        from mpc_via_diffusion_model_tpu.train import (
+            TrainState, make_optimizer, make_scanned_train_steps, make_train_step,
+        )
+
+        apply_uncond = lambda p_, xx, tt, cc, mm: model.apply(p_, xx, tt)
+        optimizer = make_optimizer(lr=2e-3)
+        step = make_train_step(diffusion, apply_uncond, optimizer,
+                               step_start_ema=500, update_ema_every=10)
+        chunk = make_scanned_train_steps(step, 250)
+        chunk_jit = jax.jit(lambda st, aa, bb, k: chunk(st, aa, bb, k, 128))
+        state = TrainState(params, jax.tree_util.tree_map(jnp.asarray, params),
+                           optimizer.init(params), jnp.int32(0))
+        key_t = jax.random.PRNGKey(5)
+        loss = float("nan")
+        for c in range(max(1, args.train_steps // 250)):
+            key_t, k = jax.random.split(key_t)
+            state, loss = chunk_jit(state, ds.trajs_normalized, ds.tasks_normalized, k)
+        print(f"trained {max(1, args.train_steps // 250) * 250} steps; loss {float(loss):.5f}")
         params = state.ema_params
 
     guide = make_guide(
