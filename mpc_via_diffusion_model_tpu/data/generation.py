@@ -94,8 +94,13 @@ def collect_closed_loop_dataset(
     key: Optional[jax.Array] = None,
     normalizer: str = "LimitsNormalizer",
     return_arrays: bool = False,
+    state_to_condition=None,
 ):
     """Closed-loop expert data collection, fully on device.
+
+    ``state_to_condition`` maps recorded plant states to the conditioning
+    vectors stored in the dataset (identity by default; e.g. the Panda
+    20-dim context, `dynamics.panda_context`).
 
     For every (x0 in grid) x (kick in u_kick_scales): run ``n_control_steps``
     of receding-horizon iLQR (warm-started from the shifted previous
@@ -145,14 +150,18 @@ def collect_closed_loop_dataset(
     )
     nominal, noisy = jax.jit(groups)(x0s, kicks, keys)
 
+    to_cond = state_to_condition or (lambda x: x)
+    cond_dim = int(jax.eval_shape(to_cond, jnp.zeros(plant.state_dim)).shape[0])
+    cond_map = jax.jit(jax.vmap(to_cond))
+
     # nominal: x (G, K, S, n), us (G, K, S, H, m), J (G, K, S)
     xs_n, us_n, js_n = nominal
-    x_all = [np.asarray(xs_n).reshape(-1, plant.state_dim)]
+    x_all = [np.asarray(cond_map(jnp.asarray(np.asarray(xs_n).reshape(-1, plant.state_dim))))]
     u_all = [np.asarray(us_n).reshape(-1, horizon, plant.control_dim)]
     j_all = [np.asarray(js_n).reshape(-1)]
     if n_noisy > 0:
         xs_z, us_z, js_z = noisy
-        x_all.append(np.asarray(xs_z).reshape(-1, plant.state_dim))
+        x_all.append(np.asarray(cond_map(jnp.asarray(np.asarray(xs_z).reshape(-1, plant.state_dim)))))
         u_all.append(np.asarray(us_z).reshape(-1, horizon, plant.control_dim))
         j_all.append(np.asarray(js_z).reshape(-1))
 

@@ -131,19 +131,21 @@ def reference_mpc_cost(
       ``xnext`` after the last stage iteration), not x_H.
     """
     horizon = u_seq.shape[0]
-    u_flat = u_seq.reshape(horizon, -1)[:, 0]
+    u_rows = u_seq.reshape(horizon, -1)  # (H, m); the reference is scalar-u
+    # (calMPCCost indexes u[i][0][0]); multi-channel controls generalize by
+    # summing R over the control vector.
 
-    init_cost = jnp.sum(cost.q_diag * jnp.square(x0)) + jnp.sum(cost.r * jnp.square(u_flat[0]))
+    init_cost = jnp.sum(cost.q_diag * jnp.square(x0)) + jnp.sum(cost.r * jnp.square(u_rows[0]))
 
     def body(carry, u_next):
         x_cur, u_cur, acc = carry
-        x_next = plant.step(x_cur, jnp.reshape(u_cur, (plant.control_dim,)))
+        x_next = plant.step(x_cur, u_cur)
         acc = acc + jnp.sum(cost.q_diag[1:] * jnp.square(x_next[1:]))
         acc = acc + jnp.sum(cost.r * jnp.square(u_next))
         return (x_next, u_next, acc), None
 
     # stage loop i = 1 .. H-2 consumes u_1 .. u_{H-2}
     (x_last, _, acc), _ = jax.lax.scan(
-        body, (x0, u_flat[0], init_cost), u_flat[1 : horizon - 1]
+        body, (x0, u_rows[0], init_cost), u_rows[1 : horizon - 1]
     )
     return acc + jnp.sum(cost.p_diag * jnp.square(x_last))

@@ -23,7 +23,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="artifacts/flagship")
-    p.add_argument("--plant", default="cartpole", choices=["cartpole", "acrobot"])
+    p.add_argument("--plant", default="cartpole", choices=["cartpole", "acrobot", "panda"])
     p.add_argument("--grid-pos", type=int, default=5)
     p.add_argument("--grid-theta", type=int, default=10)
     p.add_argument("--steps", type=int, default=40, help="closed-loop collection steps")
@@ -59,14 +59,21 @@ def main():
     )
 
     os.makedirs(args.out, exist_ok=True)
-    plant_name = "cartpole_virtual_swingup" if args.plant == "cartpole" else "acrobot"
+    plant_name = {"cartpole": "cartpole_virtual_swingup", "acrobot": "acrobot",
+                  "panda": "panda_surrogate"}[args.plant]
     plant, cost = get_plant(plant_name)
+    to_cond = None
     cond_dim = plant.state_dim
+    control_dim = plant.control_dim
+    if args.plant == "panda":
+        from mpc_via_diffusion_model_tpu.dynamics import panda_context
+        to_cond = panda_context
+        cond_dim = 20  # (q7 | qd7 | ee_pos3 | ee_vel3), the reference's Panda context
 
     # record the run config (incl. cfg_indicator — it changes the FiLM width)
     from mpc_via_diffusion_model_tpu.train import ExperimentConfig, ModelConfig
     ExperimentConfig(
-        model=ModelConfig(state_dim=1, n_support_points=args.horizon,
+        model=ModelConfig(state_dim=control_dim, n_support_points=args.horizon,
                           context_dim=cond_dim, cfg_indicator=True),
         dataset_path=os.path.join(args.out, "dataset.npz"),
         results_dir=args.out, plant=plant_name,
@@ -81,7 +88,7 @@ def main():
             state_dim=5, theta_to_virtual=theta_to_red_theta,
         )
         kicks = (5.0, -5.0)
-    else:
+    elif args.plant == "acrobot":
         # acrobot: (theta1 x theta2) grid over [-pi/2, pi/2]
         # (reference acrobots_nmpc.py:63-75), +/-40 torque kicks (U_GUESS)
         grid = make_acrobot_grid(
@@ -89,10 +96,21 @@ def main():
             np.linspace(-np.pi / 2, np.pi / 2, args.grid_theta),
         )
         kicks = (40.0, -40.0)
+    else:
+        # panda: random joint postures at rest (the reference samples MuJoCo
+        # states; here q ~ U[-0.6, 0.6]^7, qd = 0)
+        rng0 = np.random.RandomState(0)
+        n_grid = args.grid_pos * args.grid_theta
+        grid = np.concatenate([
+            rng0.uniform(-0.6, 0.6, (n_grid, 7)).astype(np.float32),
+            np.zeros((n_grid, 7), np.float32),
+        ], axis=1)
+        kicks = (2.0, -2.0)
     ds = collect_closed_loop_dataset(
         plant, cost, grid, horizon=args.horizon, n_control_steps=args.steps,
         solver_iterations=25, u_kick_scales=kicks,
         noise_std=0.15, n_noisy=args.noisy, key=jax.random.PRNGKey(0),
+        state_to_condition=to_cond,
     )
     t_collect = time.time() - t0
     n_solves = ds.n_init
@@ -102,12 +120,12 @@ def main():
 
     # ---------------- 2) train (scanned chunks) ----------------
     model = TemporalUnet(
-        state_dim=1, n_support_points=args.horizon, unet_input_dim=32,
+        state_dim=control_dim, n_support_points=args.horizon, unet_input_dim=32,
         dim_mults=UNET_DIM_MULTS[0], context_dim=cond_dim, conditioning_type="default",
         cfg_indicator=True,  # disambiguate dropped vs genuinely-zero context
     )
     diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 25))
-    x = jnp.zeros((2, args.horizon, 1))
+    x = jnp.zeros((2, args.horizon, control_dim))
     params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((2,), jnp.int32),
                         jnp.zeros((2, cond_dim)), jnp.zeros((2, 1)))
     optimizer = make_optimizer(lr=3e-3)
@@ -144,12 +162,15 @@ def main():
         diffusion, model.apply, ds.normalizer.stats["inputs"],
         ds.normalizer.stats["condition"], plant, cost,
         horizon=args.horizon, n_steps=80, w=0.01, n_diffusion_steps_without_noise=5,
+        state_to_condition=to_cond,
     ))
     if args.plant == "cartpole":
         theta0 = 3.0
         x0 = jnp.array([0.0, 0.0, theta0, 0.0, float(theta_to_red_theta(theta0))])
-    else:
+    elif args.plant == "acrobot":
         x0 = jnp.asarray(make_acrobot_grid([0.7], [-0.7])[0])
+    else:
+        x0 = jnp.concatenate([jnp.full((7,), 0.4), jnp.zeros(7)])
     keys = jax.random.split(jax.random.PRNGKey(7), 10)
     runs = jax.jit(jax.vmap(lambda k: loop(state.ema_params, x0, k)))(keys)
 
@@ -197,7 +218,9 @@ def main():
         labels=["diffusion", "nmpc"], dt=plant.dt,
         state_names=(["x", "xdot", "theta", "thetadot", "theta*"]
                      if args.plant == "cartpole"
-                     else ["th1", "th2", "dth1", "dth2", "th1*", "th2*"]),
+                     else (["th1", "th2", "dth1", "dth2", "th1*", "th2*"]
+                           if args.plant == "acrobot"
+                           else [f"q{i}" for i in range(7)] + [f"qd{i}" for i in range(7)])),
     )
     save_fig(fig, os.path.join(args.out, "comparison"))
     print("artifacts in", args.out, flush=True)
