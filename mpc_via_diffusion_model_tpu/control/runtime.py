@@ -95,14 +95,18 @@ def make_replan_fn(
             )
         elif sampler == "ddim":
             # fast mode: T//5 deterministic steps (reference `ddim_sample`,
-            # `diffusion_model_base.py:239-314`); conditional-only (w folded
-            # into the conditional pass since eta=0 CFG-DDIM reduces to it at
-            # the reference's w=0.01 scale)
+            # `diffusion_model_base.py:239-314`). w is honored via true
+            # CFG-DDIM (doubled-batch x0-recon combination inside
+            # ddim_sample); w=0 is the reference's unguided conditional pass.
             u_norm = diffusion.ddim_sample(
-                lambda x, t, c, m: apply_fn(params, x, t, c, jnp.zeros((x.shape[0], 1), x.dtype)),
+                lambda x, t, c, m: apply_fn(
+                    params, x, t, c,
+                    jnp.zeros((x.shape[0], 1), x.dtype) if m is None else m,
+                ),
                 (n_candidates, horizon, control_dim),
                 key,
                 context=ctx,
+                w=w,
             )
         else:
             raise ValueError(f"unknown sampler '{sampler}'")

@@ -7,9 +7,11 @@ key over the flattened data; normalized copies stored alongside (reference
 `cart_pole_u.py:63-74,122-124`).
 
 The reference keeps the whole dataset on GPU and indexes through a torch
-DataLoader; here the arrays are jnp device buffers and minibatches are
-gathered with PRNG-permuted indices inside the jitted train step — the tiny
-datasets (<1 GB) live in HBM, so an epoch never touches the host.
+DataLoader; here the arrays are jnp device buffers and minibatches are drawn
+i.i.d. WITH replacement (`jax.random.randint` index gather) inside the jitted
+train step — statistically equivalent to the reference's epoch shuffling at
+these dataset sizes, and it keeps the batch op a single fused gather. The
+tiny datasets (<1 GB) live in HBM, so an epoch never touches the host.
 
 Loading: `.npz` (our native format) or the reference's `.pt` tensors (via the
 CPU torch that ships in the image) for drop-in compatibility.
@@ -41,6 +43,9 @@ class ControlSequenceDataset:
     inputs_normalized: jnp.ndarray
     condition_normalized: jnp.ndarray
     normalizer: DatasetNormalizer
+    # Fraction of expert solves whose final iLQR backward pass was PD-clean
+    # (set by `collect_closed_loop_dataset`; None for loaded datasets).
+    solver_converged_fraction: Optional[float] = None
 
     # -------------------------------------------------------------- #
     @classmethod
@@ -133,7 +138,8 @@ class ControlSequenceDataset:
         return self.normalizer.unnormalize(u_norm, FIELD_INPUTS)
 
     def batch(self, key: jax.Array, batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Random minibatch of (inputs_normalized, condition_normalized)."""
+        """Random minibatch of (inputs_normalized, condition_normalized),
+        drawn i.i.d. with replacement (see module docstring)."""
         idx = jax.random.randint(key, (batch_size,), 0, self.n_init)
         return self.inputs_normalized[idx], self.condition_normalized[idx]
 
@@ -167,6 +173,14 @@ def specified_split(
         idx = list(rng)
         n_train = int((1 - val_fraction) * len(idx))
         return idx[:n_train], idx[n_train:]
+
+    # The pairwise interleave below would silently truncate to the shorter
+    # range; the reference guarantees equal lengths by construction — fail
+    # loudly instead of shrinking the dataset.
+    if len(list(normal_pos_range)) != len(list(normal_neg_range)):
+        raise ValueError("specified_split: normal pos/neg ranges must have equal length")
+    if len(list(noisy_pos_range)) != len(list(noisy_neg_range)):
+        raise ValueError("specified_split: noisy pos/neg ranges must have equal length")
 
     tr_np, va_np = split(normal_pos_range)
     tr_nn, va_nn = split(normal_neg_range)

@@ -129,14 +129,14 @@ def collect_closed_loop_dataset(
                 noise = jax.random.normal(k_step, (n_noisy, plant.state_dim)) * noise_std
                 x_noisy = x[None] + noise
                 noisy_sol = jax.vmap(lambda xn: ilqr_solve(plant, cost, xn, u_ws, cfg))(x_noisy)
-                noisy_out = (x_noisy, noisy_sol.us, noisy_sol.cost)
+                noisy_out = (x_noisy, noisy_sol.us, noisy_sol.cost, noisy_sol.backward_ok)
             else:
                 noisy_out = None
 
             u0 = sol.us[0]
             x_next = plant.step(x, u0)
             u_ws_next = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
-            return (x_next, u_ws_next), ((x, sol.us, sol.cost), noisy_out)
+            return (x_next, u_ws_next), ((x, sol.us, sol.cost, sol.backward_ok), noisy_out)
 
         keys = jax.random.split(k, n_control_steps)
         (_, _), (nominal, noisy) = jax.lax.scan(step, (x0, u_ws0), keys)
@@ -155,19 +155,27 @@ def collect_closed_loop_dataset(
     cond_map = jax.jit(jax.vmap(to_cond))
 
     # nominal: x (G, K, S, n), us (G, K, S, H, m), J (G, K, S)
-    xs_n, us_n, js_n = nominal
+    xs_n, us_n, js_n, ok_n = nominal
     x_all = [np.asarray(cond_map(jnp.asarray(np.asarray(xs_n).reshape(-1, plant.state_dim))))]
     u_all = [np.asarray(us_n).reshape(-1, horizon, plant.control_dim)]
     j_all = [np.asarray(js_n).reshape(-1)]
+    ok_all = [np.asarray(ok_n).reshape(-1)]
     if n_noisy > 0:
-        xs_z, us_z, js_z = noisy
+        xs_z, us_z, js_z, ok_z = noisy
         x_all.append(np.asarray(cond_map(jnp.asarray(np.asarray(xs_z).reshape(-1, plant.state_dim)))))
         u_all.append(np.asarray(us_z).reshape(-1, horizon, plant.control_dim))
         j_all.append(np.asarray(js_z).reshape(-1))
+        ok_all.append(np.asarray(ok_z).reshape(-1))
 
     x_cat = np.concatenate(x_all, axis=0)
     u_cat = np.concatenate(u_all, axis=0)
     j_cat = np.concatenate(j_all, axis=0)
+    ok_cat = np.concatenate(ok_all, axis=0)
+    # Convergence diagnostic (VERDICT r1 item 6): fraction of solves whose
+    # final backward pass had every regularized Quu PD under the Cholesky
+    # check — the reference's Pool(30)+IPOPT collector has no such signal.
+    converged_fraction = float(ok_cat.mean()) if ok_cat.size else 1.0
+    print(f"[collect_closed_loop_dataset] solver backward-PD converged fraction: {converged_fraction:.4f}")
 
     # Solver-failure masking (SURVEY.md §5 hardening): the reference's
     # collector silently keeps zero rows when an IPOPT group throws
@@ -185,7 +193,8 @@ def collect_closed_loop_dataset(
 
     if return_arrays:
         return u_cat, x_cat, j_cat
-    return ControlSequenceDataset.from_arrays(u_cat, x_cat, normalizer=normalizer)
+    ds = ControlSequenceDataset.from_arrays(u_cat, x_cat, normalizer=normalizer)
+    return dataclasses.replace(ds, solver_converged_fraction=converged_fraction)
 
 
 def make_acrobot_grid(theta1_range, theta2_range) -> np.ndarray:

@@ -67,8 +67,10 @@ def fit_normalizer(x, kind: str = "limits", eps: float = 1.0, fixed_min: float =
     mins = x2.min(axis=0)
     maxs = x2.max(axis=0)
     means = x2.mean(axis=0)
-    # torch .std() uses Bessel's correction (unbiased); match it.
+    # torch .std() uses Bessel's correction (unbiased); match it. Clamp so
+    # constant dims don't produce a 0 std -> inf/nan under 'gaussian'.
     stds = x2.std(axis=0, ddof=1) if x2.shape[0] > 1 else np.ones_like(means)
+    stds = np.maximum(stds, 1e-8)
 
     if kind == "safe_limits":
         # reference `normalization.py:175-185`: for each constant dim, pad the

@@ -312,6 +312,7 @@ class GaussianDiffusion:
         hard_conds: HardConds = None,
         sampling_timesteps: Optional[int] = None,
         eta: float = 0.0,
+        w: float = 0.0,
         guide: Optional[GuideFn] = None,
         n_guide_steps: int = 1,
         t_start_guide: float = float("inf"),
@@ -319,7 +320,14 @@ class GaussianDiffusion:
     ):
         """DDIM sampler (reference `ddim_sample`, `:239-314`): T//5 steps by
         default, eta = 0. The time grid is static so the pair loop unrolls
-        into the jitted program."""
+        into the jitted program.
+
+        ``w`` > 0 enables classifier-free guidance (beyond the reference,
+        whose DDIM is unguided): one doubled-batch forward per step, x0
+        reconstructions combined as ``(1+w) x0_cond - w x0_uncond`` (the same
+        convention as `p_mean_variance_cfg`), then the predicted noise is
+        re-derived from the guided x0 so the DDIM update stays consistent.
+        ``w = 0`` is exactly the reference's unguided conditional pass."""
         import numpy as np
 
         total = self.schedule.n_steps
@@ -335,11 +343,31 @@ class GaussianDiffusion:
         chain = [x] if return_chain else None
 
         b = shape[0]
+        use_cfg = (w != 0.0) and (context is not None)
         for time, time_next in pairs:
             t = jnp.full((b,), time, dtype=jnp.int32)
-            model_out = denoise_fn(x, t, context, None)
-            x_start = self.predict_start_from_noise(x, t, model_out)
-            pred_noise = self.predict_noise_from_start(x, t, model_out)
+            if use_cfg:
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                ctx2 = jnp.concatenate([context, context], axis=0)
+                mask2 = jnp.concatenate(
+                    [jnp.zeros((b, 1), x.dtype), jnp.ones((b, 1), x.dtype)], axis=0
+                )
+                recon2 = self.predict_start_from_noise(x2, t2, denoise_fn(x2, t2, ctx2, mask2))
+                # no clip here: the unguided DDIM branch below never clips
+                # x_start, so CFG must collapse to it exactly when the
+                # denoiser ignores context (w-independence identity).
+                x_start = (1.0 + w) * recon2[:b] - w * recon2[b:]
+                # re-derive epsilon from the guided x0 (exact inversion of
+                # predict_start_from_noise, NOT the predict_epsilon shortcut)
+                s = self.schedule
+                pred_noise = (
+                    self._extract(s.sqrt_recip_alphas_cumprod, t, x.ndim) * x - x_start
+                ) / self._extract(s.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+            else:
+                model_out = denoise_fn(x, t, context, None)
+                x_start = self.predict_start_from_noise(x, t, model_out)
+                pred_noise = self.predict_noise_from_start(x, t, model_out)
 
             if time_next < 0:
                 x = apply_hard_conds(x_start, hard_conds)

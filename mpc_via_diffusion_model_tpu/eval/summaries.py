@@ -53,6 +53,16 @@ class MetricsWriter:
     def close(self) -> None:
         if self._fh:
             self._fh.close()
+            self._fh = None
+
+    # Context-manager protocol so `with MetricsWriter(...) as mw:` cleans up
+    # the JSONL handle even on exceptions; Trainer.fit also closes its own
+    # writer in a finally block.
+    def __enter__(self) -> "MetricsWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
 
 
 def make_trajectory_summary(

@@ -35,7 +35,19 @@ import jax.numpy as jnp
 from ..dynamics.base import Plant, QuadraticCost
 from ..utils.precision import hmatmul
 
-__all__ = ["ILQRConfig", "ILQRSolution", "ilqr_solve", "ilqr_solve_batched"]
+__all__ = ["ILQRConfig", "ILQRSolution", "ilqr_solve", "ilqr_solve_batched", "pd_solve"]
+
+
+def pd_solve(mat: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve ``mat @ x = rhs`` for symmetric ``mat`` via Cholesky, returning
+    ``(x, ok)`` where ``ok`` is True iff ``mat`` is positive definite (every
+    Cholesky pivot succeeded). An indefinite matrix with positive diagonal is
+    correctly rejected — the failure mode a diagonal-sign proxy misses for
+    m > 1. On failure x is zeroed so downstream recursions stay finite."""
+    chol = jnp.linalg.cholesky(mat)
+    ok = jnp.all(jnp.isfinite(chol))
+    sol = jax.scipy.linalg.cho_solve((chol, True), rhs)
+    return jnp.where(ok, sol, jnp.zeros_like(sol)), ok
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,11 +68,12 @@ class ILQRSolution:
     xs: jnp.ndarray  # (H+1, n)
     cost: jnp.ndarray  # scalar
     improved_last_iter: jnp.ndarray  # bool diagnostic
+    backward_ok: jnp.ndarray  # bool: last backward pass had all Quu_reg PD (Cholesky)
 
 
 jax.tree_util.register_pytree_node(
     ILQRSolution,
-    lambda s: ((s.us, s.xs, s.cost, s.improved_last_iter), None),
+    lambda s: ((s.us, s.xs, s.cost, s.improved_last_iter, s.backward_ok), None),
     lambda _, leaves: ILQRSolution(*leaves),
 )
 
@@ -106,8 +119,7 @@ def ilqr_backward(plant: Plant, cost: QuadraticCost, xs, us, reg):
         qux = hmatmul(fu_t.T, hmatmul(vxx, fx_t))
 
         quu_reg = quu + reg * jnp.eye(m)
-        ok_t = jnp.all(jnp.diag(quu_reg) > 0)  # cheap PD proxy; exact for m=1
-        sol = jnp.linalg.solve(quu_reg, jnp.concatenate([qu[:, None], qux], axis=1))
+        sol, ok_t = pd_solve(quu_reg, jnp.concatenate([qu[:, None], qux], axis=1))
         k_t = -sol[:, 0]
         k_gain_t = -sol[:, 1:]
 
@@ -149,7 +161,7 @@ def ilqr_solve(plant: Plant, cost: QuadraticCost, x0: jnp.ndarray, u_init: jnp.n
     alphas = jnp.asarray(config.line_search_alphas, dtype=jnp.float32)
 
     def iteration(carry, _):
-        us, xs, j_cur, reg = carry
+        us, xs, j_cur, reg, _ = carry
         ks, kgains, ok = ilqr_backward(plant, cost, xs, us, reg)
 
         us_cand, xs_cand, j_cand = jax.vmap(
@@ -168,14 +180,16 @@ def ilqr_solve(plant: Plant, cost: QuadraticCost, x0: jnp.ndarray, u_init: jnp.n
             jnp.maximum(reg / config.reg_decrease, config.reg_min),
             jnp.minimum(reg * config.reg_increase, config.reg_max),
         )
-        return (us_new, xs_new, j_new, reg_new), improved
+        return (us_new, xs_new, j_new, reg_new, ok), improved
 
     j0, xs0 = _total_cost(plant, cost, x0, u_init)
-    init = (u_init, xs0, j0, jnp.float32(config.reg_init))
-    (us, xs, j_final, _), improved_hist = jax.lax.scan(
+    init = (u_init, xs0, j0, jnp.float32(config.reg_init), jnp.bool_(True))
+    (us, xs, j_final, _, bw_ok), improved_hist = jax.lax.scan(
         iteration, init, None, length=config.n_iterations
     )
-    return ILQRSolution(us=us, xs=xs, cost=j_final, improved_last_iter=improved_hist[-1])
+    return ILQRSolution(
+        us=us, xs=xs, cost=j_final, improved_last_iter=improved_hist[-1], backward_ok=bw_ok
+    )
 
 
 def ilqr_solve_batched(

@@ -120,3 +120,20 @@ def test_acrobot_grid_and_collection_smoke():
     )
     assert u.shape[0] == 4 * 2 * 3
     assert np.all(np.isfinite(u))
+
+
+def test_gaussian_normalizer_constant_dim_no_nan():
+    """A constant dim must not divide by zero under 'gaussian' (ADVICE r1)."""
+    from mpc_via_diffusion_model_tpu.data.normalization import fit_normalizer, normalize
+
+    x = np.stack([np.linspace(0, 1, 10), np.full(10, 3.0)], axis=1).astype(np.float32)
+    stats = fit_normalizer(x, kind="gaussian")
+    out = np.asarray(normalize(stats, jnp.asarray(x)))
+    assert np.all(np.isfinite(out))
+
+
+def test_specified_split_unequal_ranges_raise():
+    from mpc_via_diffusion_model_tpu.data.datasets import specified_split
+
+    with pytest.raises(ValueError):
+        specified_split(range(0, 10), range(10, 15), range(20, 30), range(30, 40))

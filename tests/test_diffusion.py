@@ -207,3 +207,28 @@ def test_loss_jits(diff):
     f = jax.jit(lambda x0, ctx, key: diff.loss(_fake_model_jnp, x0, ctx, key))
     out = f(jnp.ones((4, H, D)), jnp.ones((4, 5)), jax.random.PRNGKey(0))
     assert np.isfinite(float(out))
+
+
+def test_ddim_cfg_w0_matches_unguided(diff):
+    """w=0 must be bit-identical to the unguided conditional DDIM pass."""
+    key = jax.random.PRNGKey(12)
+    ctx = jnp.ones((B, 5)) * 0.3
+    x_unguided = diff.ddim_sample(_fake_model_jnp, (B, H, D), key, context=ctx)
+    x_w0 = diff.ddim_sample(_fake_model_jnp, (B, H, D), key, context=ctx, w=0.0)
+    np.testing.assert_array_equal(np.asarray(x_unguided), np.asarray(x_w0))
+
+
+def test_ddim_cfg_guides_toward_context(diff):
+    """CFG-DDIM with w > 0: (a) differs from the unguided pass when the
+    denoiser uses context, (b) is identical for a context-blind denoiser
+    (the CFG combination collapses when cond == uncond output)."""
+    key = jax.random.PRNGKey(13)
+    ctx = jnp.ones((B, 5)) * 0.5
+    x0 = diff.ddim_sample(_fake_model_jnp, (B, H, D), key, context=ctx, w=0.0)
+    x2 = diff.ddim_sample(_fake_model_jnp, (B, H, D), key, context=ctx, w=2.0)
+    assert float(jnp.max(jnp.abs(x0 - x2))) > 1e-6
+
+    blind = lambda x, t, c, m: 0.1 * x
+    y0 = diff.ddim_sample(blind, (B, H, D), key, context=ctx, w=0.0)
+    y2 = diff.ddim_sample(blind, (B, H, D), key, context=ctx, w=2.0)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y2), rtol=1e-5, atol=1e-6)

@@ -164,3 +164,28 @@ def test_ilqr_quadrotor_hover():
     assert float(sol.cost) < float(j_init) * 0.8
     assert float(jnp.linalg.norm(sol.xs[-1, :3])) < float(jnp.linalg.norm(x0[:3]))
     assert np.all(np.isfinite(np.asarray(sol.us)))
+
+
+def test_pd_solve_rejects_indefinite_positive_diagonal():
+    """VERDICT r1 item 6: an indefinite Quu with positive diagonal (eigs 3,
+    -1 here) must be rejected; the old diag(Quu) > 0 proxy accepted it."""
+    from mpc_via_diffusion_model_tpu.solvers import pd_solve
+
+    indefinite = jnp.array([[1.0, 2.0], [2.0, 1.0]])
+    rhs = jnp.ones((2, 3))
+    sol, ok = pd_solve(indefinite, rhs)
+    assert not bool(ok)
+    assert np.all(np.asarray(sol) == 0.0)
+
+    spd = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+    sol, ok = pd_solve(spd, rhs)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(spd @ sol), np.asarray(rhs), rtol=1e-5, atol=1e-5)
+
+
+def test_ilqr_reports_backward_ok():
+    plant = cartpole_virtual_swingup()
+    cost = cartpole_virtual_cost()
+    x0 = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
+    sol = ilqr_solve(plant, cost, x0, jnp.zeros((16, 1)), ILQRConfig(horizon=16, n_iterations=10))
+    assert bool(sol.backward_ok)

@@ -163,3 +163,20 @@ def test_scanned_train_steps(setup):
         losses.append(float(loss))
     assert int(state.step) == 300
     assert losses[-1] < losses[0]
+
+
+def test_trainer_fit_chunked(setup, tmp_path):
+    """fit(chunk_size=N) runs the scanned path: same final step count,
+    checkpoints written, loss history recorded (VERDICT r1 item 8)."""
+    model, diffusion, params = setup
+    rng = np.random.RandomState(2)
+    ds = ControlSequenceDataset.from_arrays(
+        rng.randn(64, 1, 2).astype(np.float32), rng.randn(64, 3).astype(np.float32)
+    )
+    trainer = Trainer(diffusion, model.apply, params, lr=1e-3, checkpoint_dir=str(tmp_path))
+    trainer.fit(ds, num_train_steps=40, batch_size=16, steps_til_summary=20,
+                steps_til_checkpoint=20, chunk_size=10, log_fn=lambda s: None)
+    assert int(trainer.state.step) == 40
+    assert os.path.exists(os.path.join(str(tmp_path), "final.ckpt"))
+    assert os.path.exists(os.path.join(str(tmp_path), "step_000020.ckpt"))
+    assert len(trainer.train_losses) >= 2
