@@ -11,7 +11,19 @@ from .cartpole import (
 from .simple_plants import pendulum, pendulum_cost, double_integrator, double_integrator_cost
 from .acrobot import acrobot, acrobot_cost, theta1_to_star, theta2_to_star
 from .quadrotor import quadrotor, quadrotor_cost, obstacle_cost
-from .arm import panda_surrogate, panda_cost, panda_fk, panda_ee_velocity, panda_context
+from .arm import (
+    PANDA_READY_POSE,
+    make_panda_context,
+    panda_context,
+    panda_cost,
+    panda_ee_velocity,
+    panda_fk,
+    panda_inverse_dynamics,
+    panda_link_transforms,
+    panda_mass_matrix,
+    panda_rbd,
+    panda_surrogate,
+)
 
 PLANTS = {
     "cartpole_lmpc": (cartpole_lmpc, cartpole_lmpc_cost),
@@ -22,6 +34,7 @@ PLANTS = {
     "acrobot": (acrobot, acrobot_cost),
     "quadrotor": (quadrotor, quadrotor_cost),
     "panda_surrogate": (panda_surrogate, panda_cost),
+    "panda": (panda_rbd, panda_cost),
 }
 
 
