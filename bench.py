@@ -75,10 +75,22 @@ def main():
     )
 
     apply_fn = model.apply
-    if os.environ.get("BENCH_FUSED", "1") == "1":
-        # single-Pallas-kernel denoiser (validated vs the flax path in
-        # tests/test_fused_unet.py); CFG doubles the batch -> batch 2.
-        # 753.7 Hz fused vs 571.7 Hz XLA on this chip.
+    sample_override = None
+    mode = os.environ.get("BENCH_FUSED", "chain")
+    if mode == "chain":
+        # round-2 default: the WHOLE 30-step CFG chain in one Pallas kernel
+        # (state resident in VMEM across steps, per-step scalars baked;
+        # validated vs ddpm_cfg_sample in tests/test_fused_denoise.py).
+        from mpc_via_diffusion_model_tpu.ops.fused_denoise import make_fused_cfg_chain
+
+        wd = jnp.bfloat16 if os.environ.get("BENCH_BF16", "0") == "1" else jnp.float32
+        sample_override = make_fused_cfg_chain(
+            model, params, diffusion.schedule, n_samples=1, w=CFG_W,
+            n_diffusion_steps_without_noise=N_TAIL, weights_dtype=wd,
+        )
+    elif mode == "1":
+        # round-1 path: single-Pallas-kernel denoiser launched per step
+        # (validated in tests/test_fused_unet.py); CFG doubles the batch.
         from mpc_via_diffusion_model_tpu.ops.fused_unet import make_fused_unet
 
         fused = make_fused_unet(model, params, batch_size=2)
@@ -88,6 +100,7 @@ def main():
         diffusion, apply_fn, inputs_stats, cond_stats, plant, cost,
         horizon=HORIZON, n_steps=N_STEPS, w=CFG_W,
         n_diffusion_steps_without_noise=N_TAIL,
+        sample_override=sample_override,
     )
     run = jax.jit(closed_loop)
 

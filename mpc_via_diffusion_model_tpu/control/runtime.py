@@ -66,8 +66,13 @@ def make_replan_fn(
     cost: Optional[QuadraticCost] = None,
     sampler: str = "ddpm",
     state_to_condition: Optional[Callable] = None,
+    sample_override: Optional[Callable] = None,
 ):
     """Build ``replan(params, x0, key) -> (u_horizon, u_candidates)``.
+
+    ``sample_override(context_norm, key) -> u_norm (n_candidates, H, du)``
+    replaces the diffusion sampler entirely when given (e.g. the
+    single-kernel CFG chain, `ops/fused_denoise.make_fused_cfg_chain`).
 
     ``x0`` is the PLANT state; ``state_to_condition`` (identity by default)
     maps it to the conditioning vector. normalize -> CFG-sample n_candidates
@@ -84,7 +89,9 @@ def make_replan_fn(
         cond_norm = normalize(condition_stats, to_cond(x0))[None, :]  # (1, dx)
         ctx = jnp.broadcast_to(cond_norm, (n_candidates, cond_norm.shape[-1]))
         denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
-        if sampler == "ddpm":
+        if sample_override is not None:
+            u_norm = sample_override(ctx, key)
+        elif sampler == "ddpm":
             u_norm = diffusion.ddpm_cfg_sample(
                 denoise,
                 (n_candidates, horizon, control_dim),
@@ -143,6 +150,7 @@ def make_closed_loop(
     n_candidates: int = 1,
     state_to_condition: Optional[Callable] = None,
     sampler: str = "ddpm",
+    sample_override: Optional[Callable] = None,
 ):
     """Build the fully-fused closed loop:
     ``closed_loop(params, x0, key) -> ClosedLoopResult``.
@@ -156,6 +164,7 @@ def make_closed_loop(
         diffusion, apply_fn, inputs_stats, condition_stats,
         horizon, plant.control_dim, w, n_diffusion_steps_without_noise,
         n_candidates, plant, cost, sampler, state_to_condition,
+        sample_override,
     )
 
     def closed_loop(params, x0, key):

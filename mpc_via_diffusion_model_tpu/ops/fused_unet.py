@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.layers import group_norm_n_groups, mish
 from ..models.temporal_unet import TemporalUnet
 
-__all__ = ["make_fused_unet"]
+__all__ = ["make_fused_unet", "build_unet_ops"]
 
 
 # --------------------------------------------------------------------------- #
@@ -105,7 +105,7 @@ def _shifted_matmul_conv(x, w, b, h_per, taps):
             xs = jnp.where(row_in_b >= -shift, xs, 0.0)
         elif shift > 0:
             xs = jnp.where(row_in_b < h_per - shift, xs, 0.0)
-        acc = acc + jnp.dot(xs, w[k], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(xs.astype(w.dtype), w[k], preferred_element_type=jnp.float32)
     return acc
 
 
@@ -176,10 +176,21 @@ def _extract_weights(model: TemporalUnet, params) -> Tuple[Dict, List[Tuple[int,
 # public builder
 # --------------------------------------------------------------------------- #
 
-def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: bool = False) -> Callable:
-    """Build ``fused(x, t, context, context_mask) -> eps_hat`` for a FIXED
-    batch size (the block-diagonal resampling operators are baked per batch).
-    Matches ``model.apply(params, ...)`` within bf16-vs-fp32 tolerance."""
+def build_unet_ops(model: TemporalUnet, params, batch_size: int, weights_dtype=jnp.float32) -> Dict:
+    """Shared builder for the fused kernels: extracts weights/operators for a
+    FIXED batch size and returns
+
+    - ``flat``: the list of arrays to pass as pallas inputs (after films),
+    - ``body(W, films, x_rows) -> y_rows``: the full conv backbone on
+      batch-stacked rows (pre final-1x1), traceable inside any pallas kernel
+      (``W(idx)`` reads ``flat[idx]``; ``films`` is (n_res, B, max_c)),
+    - ``films_w``, ``final_1x1``, ``time``: the XLA-side pieces,
+    - shape metadata (``horizon``, ``n_res``, ``max_c``, ``out_dim``).
+
+    ``weights_dtype=jnp.bfloat16`` stores the conv weights and resampling
+    operators in bf16 (half the VMEM footprint; the MXU computes bf16 x bf16
+    -> fp32 with ``preferred_element_type``, activations stay fp32).
+    """
     assert model.conditioning_type == "default", "fused kernel supports 'default' conditioning"
     assert not model.self_attention, "fused kernel does not support self-attention"
 
@@ -210,18 +221,32 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
     def push(*arrs):
         idxs = []
         for a in arrs:
+            flat.append(jnp.asarray(a, weights_dtype))
+            idxs.append(len(flat) - 1)
+        return idxs
+
+    def push_f32(*arrs):
+        # GroupNorm scale/bias and conv biases stay fp32 (added to fp32
+        # activations; bf16 here would round the bias path).
+        idxs = []
+        for a in arrs:
             flat.append(jnp.asarray(a, jnp.float32))
             idxs.append(len(flat) - 1)
         return idxs
 
     res_idx = []
     for d in res_w:
-        keys = ["w1", "b1", "g1", "be1", "w2", "b2", "g2", "be2"] + (
-            ["wr", "br"] if "wr" in d else [])
-        res_idx.append((keys, push(*[d[k] for k in keys])))
-    down_idx = [push(w_, b_) for w_, b_ in downs_w]
-    up_idx = [push(w_, b_) for w_, b_ in ups_w]
-    fb_idx = push(*fb_w)
+        mat_keys = ["w1", "w2"] + (["wr"] if "wr" in d else [])
+        vec_keys = ["b1", "g1", "be1", "b2", "g2", "be2"] + (["br"] if "wr" in d else [])
+        idxs = {}
+        for k in mat_keys:
+            idxs[k] = push(d[k])[0]
+        for k in vec_keys:
+            idxs[k] = push_f32(d[k])[0]
+        res_idx.append(idxs)
+    down_idx = [(push(w_)[0], push_f32(b_)[0]) for w_, b_ in downs_w]
+    up_idx = [(push(w_)[0], push_f32(b_)[0]) for w_, b_ in ups_w]
+    fb_idx = (push(fb_w[0])[0],) + tuple(push_f32(*fb_w[1:]))
     member_idx = {c: push(m)[0] for c, m in members.items()}
     bsel_idx = {h: push(m)[0] for h, m in bsels.items()}
     s_idx = [push(s)[0] for s in s_mats]
@@ -230,26 +255,19 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
     n_res = len(res_w)
     max_c = max(co for _, co in in_out)
 
-    def kernel(x_ref, films_ref, *refs):
-        out_ref = refs[-1]
-        w = refs[:-1]
-
-        def W(idx):
-            return w[idx][...]
-
-        films = films_ref[...]  # (n_res, B, max_c)
+    def body(W, films, x):
+        """x: (B*horizon, state_dim) stacked rows -> (B*horizon, unet_dim)."""
 
         def film_rows(r, h_per, c):
             # (B, c) -> stacked rows (B*h, c)
-            return jnp.dot(W(bsel_idx[h_per]), films[r][:, :c],
+            return jnp.dot(W(bsel_idx[h_per]).astype(jnp.float32), films[r][:, :c],
                            preferred_element_type=jnp.float32)
 
         def rb(x, r, h_per):
-            keys, idxs = res_idx[r]
-            d = {k: W(ix) for k, ix in zip(keys, idxs)}
+            d = {k: W(ix) for k, ix in res_idx[r].items()}
             cout = d["g1"].shape[0]
-            member = W(member_idx[cout])
-            bsel = W(bsel_idx[h_per])
+            member = W(member_idx[cout]).astype(jnp.float32)
+            bsel = W(bsel_idx[h_per]).astype(jnp.float32)
             h1 = _groupnorm_mish(
                 _shifted_matmul_conv(x, d["w1"], d["b1"], h_per, 5),
                 member, bsel, h_per, d["g1"], d["be1"])
@@ -258,12 +276,11 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
                 _shifted_matmul_conv(h1, d["w2"], d["b2"], h_per, 5),
                 member, bsel, h_per, d["g2"], d["be2"])
             if "wr" in d:
-                resid = jnp.dot(x, d["wr"], preferred_element_type=jnp.float32) + d["br"]
+                resid = jnp.dot(x.astype(d["wr"].dtype), d["wr"],
+                                preferred_element_type=jnp.float32) + d["br"]
             else:
                 resid = x
             return h2 + resid
-
-        x = x_ref[...].reshape(b * horizon, -1)
 
         skips = []
         r = 0
@@ -274,7 +291,7 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
             skips.append(x)
             if lvl < n_levels - 1:
                 wd, bd = W(down_idx[lvl][0]), W(down_idx[lvl][1])
-                x = jnp.dot(W(s_idx[lvl]),
+                x = jnp.dot(W(s_idx[lvl]).astype(jnp.float32),
                             _shifted_matmul_conv(x, wd, bd, h_per, 3),
                             preferred_element_type=jnp.float32)
 
@@ -292,14 +309,53 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
             acc = jnp.zeros((x.shape[0] * 2, dim_in), jnp.float32) + bu
             for k in range(4):
                 acc = acc + jnp.dot(
-                    jnp.dot(W(up_tap_idx[u][k]), x, preferred_element_type=jnp.float32),
+                    jnp.dot(W(up_tap_idx[u][k]).astype(jnp.float32), x,
+                            preferred_element_type=jnp.float32).astype(wu.dtype),
                     wu[k], preferred_element_type=jnp.float32)
             x = acc
 
         wf, bf, gf, bef = W(fb_idx[0]), W(fb_idx[1]), W(fb_idx[2]), W(fb_idx[3])
-        y = _groupnorm_mish(
+        return _groupnorm_mish(
             _shifted_matmul_conv(x, wf, bf, horizon, 5),
-            W(member_idx[wf.shape[-1]]), W(bsel_idx[horizon]), horizon, gf, bef)
+            W(member_idx[wf.shape[-1]]).astype(jnp.float32),
+            W(bsel_idx[horizon]).astype(jnp.float32), horizon, gf, bef)
+
+    return {
+        "flat": flat,
+        "body": body,
+        "films_w": films_w,
+        "final_1x1": f1_w,
+        "time": time_p,
+        "horizon": horizon,
+        "n_res": n_res,
+        "max_c": max_c,
+        "out_dim": in_out[0][1],
+        "in_out": in_out,
+    }
+
+
+def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: bool = False,
+                    weights_dtype=jnp.float32) -> Callable:
+    """Build ``fused(x, t, context, context_mask) -> eps_hat`` for a FIXED
+    batch size (the block-diagonal resampling operators are baked per batch).
+    Matches ``model.apply(params, ...)`` within bf16-vs-fp32 tolerance."""
+    ops = build_unet_ops(model, params, batch_size, weights_dtype)
+    flat = ops["flat"]
+    body = ops["body"]
+    films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
+    horizon, max_c = ops["horizon"], ops["max_c"]
+    b = batch_size
+
+    def kernel(x_ref, films_ref, *refs):
+        out_ref = refs[-1]
+        w = refs[:-1]
+
+        def W(idx):
+            return w[idx][...]
+
+        films = films_ref[...]  # (n_res, B, max_c)
+        x = x_ref[...].reshape(b * horizon, -1)
+        y = body(W, films, x)
         out_ref[...] = y.reshape(b, horizon, -1)
 
     def fused(x, t, context, context_mask=None):
@@ -337,7 +393,7 @@ def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: boo
             kernel,
             in_specs=[full()] * (2 + len(flat)),
             out_specs=full(),
-            out_shape=jax.ShapeDtypeStruct((b, horizon, in_out[0][1]), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, horizon, ops["out_dim"]), jnp.float32),
             interpret=interpret,
         )(x, films, *flat)
 

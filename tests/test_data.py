@@ -137,3 +137,44 @@ def test_specified_split_unequal_ranges_raise():
 
     with pytest.raises(ValueError):
         specified_split(range(0, 10), range(10, 15), range(20, 30), range(30, 40))
+
+
+def test_reference_lmpc_regeneration_matches_committed_tensor():
+    """The 180k recipe regeneration must reproduce the committed x0 tensor
+    bit-faithfully (fp32 storage roundoff only)."""
+    import os
+    ref_path = "/root/reference/training_data/CartPole-LMPC/x0_tensor_180000-4.pt"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tensors not mounted")
+    import torch
+    from mpc_via_diffusion_model_tpu.data.reference_lmpc import (
+        regenerate_reference_lmpc_arrays,
+    )
+
+    u, x = regenerate_reference_lmpc_arrays(n_pos=15, n_theta=15, n_noisy=15)
+    assert u.shape == (180000, 8, 1) and x.shape == (180000, 4)
+    ref = torch.load(ref_path, map_location="cpu").numpy()
+    np.testing.assert_allclose(x, ref, atol=5e-7)
+
+
+def test_reference_lmpc_x0_recovery():
+    """The recovered x0s reproduce the committed u_mpc tracks to all 4
+    stored decimals through the exact MPC loop."""
+    import os
+    base = "/root/reference/model_performance_saving/model_230000"
+    if not os.path.exists(base):
+        pytest.skip("reference artifacts not mounted")
+    from mpc_via_diffusion_model_tpu.data.reference_lmpc import (
+        REFERENCE_X0_101, REFERENCE_X0_14, lmpc_lqr_gain_maps,
+    )
+
+    a_d, b_d, g = lmpc_lqr_gain_maps()
+    for tag, x0 in (("x0_101", REFERENCE_X0_101), ("x0_14", REFERENCE_X0_14)):
+        um = np.load(f"{base}/{tag}/u_mpc.npy")[0]
+        x = x0.copy()
+        us = []
+        for _ in range(um.shape[0]):
+            u = (g @ x)[0]
+            us.append(u)
+            x = a_d @ x + b_d[:, 0] * u
+        np.testing.assert_allclose(np.round(us, 4), um, atol=1e-9)
