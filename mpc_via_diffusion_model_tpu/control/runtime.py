@@ -67,8 +67,16 @@ def make_replan_fn(
     sampler: str = "ddpm",
     state_to_condition: Optional[Callable] = None,
     sample_override: Optional[Callable] = None,
+    guide_builder: Optional[Callable] = None,
+    n_guide_steps: int = 1,
+    t_start_guide: float = float("inf"),
 ):
     """Build ``replan(params, x0, key) -> (u_horizon, u_candidates)``.
+
+    ``guide_builder(x0) -> guide`` builds a per-replan cost-gradient guide on
+    NORMALIZED u batches (closing over the current plant state); it is passed
+    through to `ddpm_cfg_sample` so obstacle/cost guidance composes with CFG
+    (the MPD pattern, `inference_(mpd).py:254-298`, applied to control).
 
     ``sample_override(context_norm, key) -> u_norm (n_candidates, H, du)``
     replaces the diffusion sampler entirely when given (e.g. the
@@ -99,6 +107,9 @@ def make_replan_fn(
                 ctx,
                 w=w,
                 n_diffusion_steps_without_noise=n_diffusion_steps_without_noise,
+                guide=guide_builder(x0) if guide_builder is not None else None,
+                n_guide_steps=n_guide_steps,
+                t_start_guide=t_start_guide,
             )
         elif sampler == "ddim":
             # fast mode: T//5 deterministic steps (reference `ddim_sample`,
@@ -151,12 +162,17 @@ def make_closed_loop(
     state_to_condition: Optional[Callable] = None,
     sampler: str = "ddpm",
     sample_override: Optional[Callable] = None,
+    guide_builder: Optional[Callable] = None,
+    n_guide_steps: int = 1,
+    t_start_guide: float = float("inf"),
 ):
     """Build the fully-fused closed loop:
     ``closed_loop(params, x0, key) -> ClosedLoopResult``.
 
     ``state_to_condition`` maps the plant state to the conditioning vector
     (identity by default; e.g. recompute theta* from theta each step).
+    ``guide_builder`` threads a per-replan cost-gradient guide into the CFG
+    sampler (see `make_replan_fn`).
     Workload constants default to the reference's flagship run: 80 steps,
     horizon 32, T=25+5, w=0.01 (`Diffusion_MPC_Inference.py:31-34,94-97`).
     """
@@ -164,7 +180,7 @@ def make_closed_loop(
         diffusion, apply_fn, inputs_stats, condition_stats,
         horizon, plant.control_dim, w, n_diffusion_steps_without_noise,
         n_candidates, plant, cost, sampler, state_to_condition,
-        sample_override,
+        sample_override, guide_builder, n_guide_steps, t_start_guide,
     )
 
     def closed_loop(params, x0, key):

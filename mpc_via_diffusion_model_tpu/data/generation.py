@@ -95,6 +95,7 @@ def collect_closed_loop_dataset(
     normalizer: str = "LimitsNormalizer",
     return_arrays: bool = False,
     state_to_condition=None,
+    cold_start: bool = False,
 ):
     """Closed-loop expert data collection, fully on device.
 
@@ -108,6 +109,16 @@ def collect_closed_loop_dataset(
     copies of the current state (cold-started from the nominal warm start).
     Records (state, u-horizon, cost) for nominal and noisy solves — the exact
     data layout of `nmpc_multi_process_collect_data.py:196-318`.
+
+    ``cold_start=True`` reproduces the reference collector's actual protocol:
+    EVERY solve (nominal and noisy, at every control step) starts from the
+    group's constant +/-kick guess rather than the shifted previous solution
+    (`nmpc_multi_process_collect_data.py:143-153,234,260-272` passes the
+    group's ``x_ini_guess, u_ini_guess`` to each ``MPC_Solve``). This keeps
+    each group committed to its swing basin for the whole run, so states the
+    two groups both visit (the start cloud, the near-target region) carry
+    BOTH basin labels — the training-data overlap the one-state
+    multi-modality study (`Cart_Diffusion_inference.py:405-510`) relies on.
 
     Total samples = len(grid) * len(kicks) * n_control_steps * (1 + n_noisy).
     """
@@ -123,12 +134,13 @@ def collect_closed_loop_dataset(
 
         def step(carry, k_step):
             x, u_ws = carry
-            sol = ilqr_solve(plant, cost, x, u_ws, cfg)
+            ws = u_ws0 if cold_start else u_ws
+            sol = ilqr_solve(plant, cost, x, ws, cfg)
 
             if n_noisy > 0:
                 noise = jax.random.normal(k_step, (n_noisy, plant.state_dim)) * noise_std
                 x_noisy = x[None] + noise
-                noisy_sol = jax.vmap(lambda xn: ilqr_solve(plant, cost, xn, u_ws, cfg))(x_noisy)
+                noisy_sol = jax.vmap(lambda xn: ilqr_solve(plant, cost, xn, ws, cfg))(x_noisy)
                 noisy_out = (x_noisy, noisy_sol.us, noisy_sol.cost, noisy_sol.backward_ok)
             else:
                 noisy_out = None

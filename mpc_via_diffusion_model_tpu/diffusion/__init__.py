@@ -1,4 +1,11 @@
 from .gaussian_diffusion import GaussianDiffusion, HardConds, apply_hard_conds
+from .distillation import (
+    ddim_time_grid,
+    halve_times,
+    ddim_affine_coefs,
+    make_distill_step,
+    make_student_ddim_sampler,
+)
 from .guides import (
     make_guide,
     collision_avoidance_guide,

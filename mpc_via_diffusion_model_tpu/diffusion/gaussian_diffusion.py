@@ -157,21 +157,36 @@ class GaussianDiffusion:
         context: Optional[jnp.ndarray],
         key: jax.Array,
         hard_conds: HardConds = None,
+        sample_keys: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Training loss (reference `loss` + `p_losses`, `:434-467`):
         random t, q_sample, Bernoulli(drop_prob) context mask, weighted
-        l2/l1 on epsilon (or x0)."""
+        l2/l1 on epsilon (or x0).
+
+        ``sample_keys`` (batch of per-sample PRNG keys) switches all draws to
+        per-sample derivation, making the loss independent of how the batch
+        is sharded — the DP train step derives them from GLOBAL sample
+        indices so an 8-device mesh reproduces the 1-device update exactly
+        (up to fp reduction order)."""
         b = x_start.shape[0]
-        k_t, k_noise, k_mask = jax.random.split(key, 3)
-        t = jax.random.randint(k_t, (b,), 0, self.schedule.n_steps)
-        noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+        if sample_keys is not None:
+            def draws(k):
+                k_t, k_noise, k_mask = jax.random.split(k, 3)
+                t1 = jax.random.randint(k_t, (), 0, self.schedule.n_steps)
+                n1 = jax.random.normal(k_noise, x_start.shape[1:], x_start.dtype)
+                m1 = jax.random.bernoulli(k_mask, self.drop_prob, (1,))
+                return t1, n1, m1
+            t, noise, mask_b = jax.vmap(draws)(sample_keys)
+        else:
+            k_t, k_noise, k_mask = jax.random.split(key, 3)
+            t = jax.random.randint(k_t, (b,), 0, self.schedule.n_steps)
+            noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+            mask_b = jax.random.bernoulli(k_mask, self.drop_prob, (b, 1))
         x_noisy = self.q_sample(x_start, t, noise)
 
         context_mask = None
         if context is not None:
-            context_mask = jax.random.bernoulli(
-                k_mask, self.drop_prob, (b, 1)
-            ).astype(x_start.dtype)
+            context_mask = mask_b.astype(x_start.dtype)
 
         x_recon = denoise_fn(x_noisy, t, context, context_mask)
         target = noise if self.predict_epsilon else x_start
@@ -180,15 +195,41 @@ class GaussianDiffusion:
     # ------------------------------------------------------------------ #
     # sampling
     # ------------------------------------------------------------------ #
-    def ddpm_cfg_step(self, denoise_fn, x, i, noise, context, w):
+    def ddpm_cfg_step(
+        self,
+        denoise_fn,
+        x,
+        i,
+        noise,
+        context,
+        w,
+        guide: Optional[GuideFn] = None,
+        n_guide_steps: int = 1,
+        t_start_guide: float = float("inf"),
+        scale_grad_by_std: bool = False,
+    ):
         """One CFG denoising step with the injected noise passed explicitly
         (reference `ddpm_cart_pole_sample_fn`, `sample_functions.py:17-44`):
-        t < 0 clamps to t = 0; noise is zeroed whenever i <= 0."""
+        t < 0 clamps to t = 0; noise is zeroed whenever i <= 0.
+
+        The optional ``guide`` hook mirrors `ddpm_step`'s (reference
+        `guided_sample_fn`, `sample_functions.py:47-92`) so cost-gradient
+        guidance composes with classifier-free guidance — the pattern the
+        quadrotor obstacle-avoidance flagship uses."""
         t_eff = jnp.maximum(i, 0)
         t = jnp.full((x.shape[0],), t_eff, dtype=jnp.int32)
         mean, log_var = self.p_mean_variance_cfg(denoise_fn, x, t, context, w)
+        x_new = mean
+        if guide is not None:
+            model_var = jnp.exp(log_var)
+            do_guide = (i < t_start_guide).astype(x_new.dtype)
+            for _ in range(n_guide_steps):
+                g = guide(x_new)
+                if scale_grad_by_std:
+                    g = model_var * g
+                x_new = x_new + do_guide * g
         noise_gate = (i > 0).astype(mean.dtype)
-        return mean + jnp.exp(0.5 * log_var) * noise * noise_gate
+        return x_new + jnp.exp(0.5 * log_var) * noise * noise_gate
 
     def ddpm_step(
         self,
@@ -277,12 +318,17 @@ class GaussianDiffusion:
         w: float = 0.01,
         n_diffusion_steps_without_noise: int = 0,
         return_chain: bool = False,
+        guide: Optional[GuideFn] = None,
+        n_guide_steps: int = 1,
+        t_start_guide: float = float("inf"),
+        scale_grad_by_std: bool = False,
     ):
         """Classifier-free-guidance DDPM sampling, the flagship control path
         (reference `cart_pole_sample_loop` + `ddpm_cart_pole_sample_fn` +
         `run_CFG`, `diffusion_model_base.py:181-209,394-418`,
         `sample_functions.py:17-44`). No hard conditions on this path,
-        matching the reference."""
+        matching the reference. ``guide`` adds cost-gradient guidance on top
+        of CFG (the MPD pattern, `inference_(mpd).py:254-298`)."""
         n_tail = n_diffusion_steps_without_noise
         n_total = self.schedule.n_steps + n_tail
         steps = jnp.arange(self.schedule.n_steps - 1, -n_tail - 1, -1)
@@ -295,7 +341,11 @@ class GaussianDiffusion:
 
         def body(x, inp):
             i, noise = inp
-            x_new = self.ddpm_cfg_step(denoise_fn, x, i, noise, context, w)
+            x_new = self.ddpm_cfg_step(
+                denoise_fn, x, i, noise, context, w,
+                guide=guide, n_guide_steps=n_guide_steps,
+                t_start_guide=t_start_guide, scale_grad_by_std=scale_grad_by_std,
+            )
             return x_new, x_new if return_chain else None
 
         x, chain = jax.lax.scan(body, x0, (steps, all_noise[1:]))

@@ -6,6 +6,7 @@ from .cartpole import (
     cartpole_virtual_swingup,
     cartpole_virtual_stabilized,
     cartpole_virtual_cost,
+    cartpole_virtual_collect_cost,
     theta_to_red_theta,
 )
 from .simple_plants import pendulum, pendulum_cost, double_integrator, double_integrator_cost

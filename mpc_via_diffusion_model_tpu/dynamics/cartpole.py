@@ -36,6 +36,7 @@ __all__ = [
     "cartpole_virtual_swingup",
     "cartpole_virtual_stabilized",
     "cartpole_virtual_cost",
+    "cartpole_virtual_collect_cost",
 ]
 
 # ---------------------------------------------------------------------------
@@ -186,10 +187,26 @@ def cartpole_virtual_stabilized(dt: float = 0.01) -> Plant:
 
 
 def cartpole_virtual_cost(q_redundant: float = 1000.0, p_redundant: float = 1000.0) -> QuadraticCost:
-    """Q=diag(0.01,0.01,0,0.001,1000), R=0.1, P likewise
-    (reference `Cart_Diffusion_inference.py:36-46`)."""
+    """Q=diag(0.01,0.01,0,0.001,1000), R=0.1, P likewise — the reference's
+    INFERENCE/evaluation cost (`Cart_Diffusion_inference.py:36-46`)."""
     return QuadraticCost(
         q_diag=jnp.array([0.01, 0.01, 0.0, 0.001, q_redundant], dtype=jnp.float32),
         r=jnp.float32(0.1),
         p_diag=jnp.array([0.01, 0.01, 0.0, 0.001, p_redundant], dtype=jnp.float32),
+    )
+
+
+def cartpole_virtual_collect_cost() -> QuadraticCost:
+    """The reference's DATA-COLLECTION cost — Q=diag(0.01,0.01,0,0.01,1000),
+    R=0.001, P=diag(0.01,0.1,0,0.1,1000)
+    (`nmpc_multi_process_collect_data.py:61-65`). The 100x-cheaper control
+    penalty is what makes the +/- initial-guess solutions at the theta=pi
+    saddle LARGE and well-separated — the source of the one-state
+    multi-modality the SAMPLING_TIMES study measures; collecting with the
+    inference cost (R=0.1) shrinks the two modes to ~+-0.1 and the trained
+    sampler averages them away."""
+    return QuadraticCost(
+        q_diag=jnp.array([0.01, 0.01, 0.0, 0.01, 1000.0], dtype=jnp.float32),
+        r=jnp.float32(0.001),
+        p_diag=jnp.array([0.01, 0.1, 0.0, 0.1, 1000.0], dtype=jnp.float32),
     )

@@ -40,7 +40,7 @@ from ..models.layers import mish
 from ..models.temporal_unet import TemporalUnet
 from .fused_unet import build_unet_ops
 
-__all__ = ["make_fused_cfg_chain"]
+__all__ = ["make_fused_cfg_chain", "make_fused_ddim_chain"]
 
 
 def make_fused_cfg_chain(
@@ -174,5 +174,108 @@ def make_fused_cfg_chain(
             out_shape=jax.ShapeDtypeStruct((n_samples, horizon, d_state), jnp.float32),
             interpret=interpret,
         )(films, noise_tab, coefs, *flat)
+
+    return sample
+
+
+def make_fused_ddim_chain(
+    model: TemporalUnet,
+    params,
+    schedule: DiffusionSchedule,
+    times,
+    n_samples: int = 1,
+    weights_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Callable:
+    """The distilled/conditional DDIM chain as ONE Pallas kernel.
+
+    Runs `diffusion.distillation.make_student_ddim_sampler`'s affine update
+    ``x <- c1(t) recon + c2(t) x`` over the static ``times`` grid with NO CFG
+    doubling (the guidance weight is baked into the distilled student) and no
+    injected noise — the whole few-step sampler is len(times)+1 sequential
+    U-Net bodies inside one `lax.fori_loop`. Semantics match the XLA sampler
+    to fp tolerance (tests/test_distillation.py).
+    """
+    from ..diffusion.distillation import ddim_affine_coefs
+
+    ops = build_unet_ops(model, params, n_samples, weights_dtype)
+    flat, body = ops["flat"], ops["body"]
+    films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
+    horizon, n_res, max_c = ops["horizon"], ops["n_res"], ops["max_c"]
+    d_state = model.state_dim
+
+    C = ddim_affine_coefs(schedule, times)
+    n_total = len(C["t"])
+    coefs = jnp.asarray(
+        np.stack([C["sra"], C["srm"], C["c1"], C["c2"]], axis=1), jnp.float32
+    )  # (n_total, 4)
+
+    # time embeddings of the grid steps, precomputed at build time
+    half = 16
+    emb_scale = np.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb_scale)
+    args = np.asarray(C["t"], np.float64)[:, None] * freqs[None, :]
+    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
+    te = time_p
+    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
+    t_embs = jnp.asarray(h1) @ te["Dense_1"]["kernel"] + te["Dense_1"]["bias"]
+
+    wf_stack = jnp.stack([
+        jnp.pad(wf_, ((0, 0), (0, max_c - wf_.shape[1]))) for wf_, _ in films_w
+    ])
+    bf_stack = jnp.stack([
+        jnp.pad(bf_, (0, max_c - bf_.shape[0])) for _, bf_ in films_w
+    ])
+    w1, b1 = f1_w
+
+    def kernel(films_ref, noise_ref, coef_ref, *refs):
+        out_ref = refs[-1]
+        wrefs = refs[:-1]
+
+        def W(idx):
+            return wrefs[idx][...]
+
+        rows = n_samples * horizon
+
+        def step_body(si, x):
+            films = films_ref[si]  # (n_res, B, max_c)
+            y = body(W, films, x)
+            eps = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+                          preferred_element_type=jnp.float32) + W(b1_idx)
+            sra_t = coef_ref[si, 0]
+            srm_t = coef_ref[si, 1]
+            c1_t = coef_ref[si, 2]
+            c2_t = coef_ref[si, 3]
+            recon = sra_t * x - srm_t * eps
+            return c1_t * recon + c2_t * x
+
+        x = jax.lax.fori_loop(0, n_total, step_body, noise_ref[...].reshape(rows, d_state))
+        out_ref[...] = x.reshape(n_samples, horizon, d_state)
+
+    flat = list(flat)
+    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
+    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+
+    def sample(context: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        """context: (n_samples, cond_dim) normalized conditioning."""
+        parts = [jnp.broadcast_to(t_embs[:, None, :], (n_total, n_samples, t_embs.shape[-1])),
+                 jnp.broadcast_to(context[None], (n_total, n_samples, context.shape[-1]))]
+        if getattr(model, "cfg_indicator", False):
+            parts.append(jnp.ones((n_total, n_samples, 1)))
+        c_emb = jnp.concatenate(parts, axis=-1)
+        mc = mish(c_emb)
+        films = jnp.einsum("sbc,rcd->srbd", mc, wf_stack) + bf_stack[None, :, None, :]
+
+        x_init = jax.random.normal(key, (n_samples, horizon, d_state), jnp.float32)
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[full(), full(),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
+                     + [full()] * len(flat),
+            out_specs=full(),
+            out_shape=jax.ShapeDtypeStruct((n_samples, horizon, d_state), jnp.float32),
+            interpret=interpret,
+        )(films, x_init, coefs, *flat)
 
     return sample

@@ -1,1 +1,7 @@
-from .mesh import make_mesh, shard_batch, replicate, make_dp_train_step
+from .mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_dp_train_step,
+    make_sharded_eval,
+)

@@ -27,7 +27,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..diffusion.gaussian_diffusion import GaussianDiffusion
 from ..train.trainer import TrainState, make_optimizer
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "make_dp_train_step"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_dp_train_step",
+    "make_sharded_eval",
+]
 
 
 def make_mesh(
@@ -70,19 +76,25 @@ def make_dp_train_step(
     pmean-reduced, params updated identically on every device.
 
     Returns a jitted ``step(state, inputs_norm, condition_norm, key)``;
-    ``key`` is a single key — it is folded with the device index so each
-    shard draws independent noise/timesteps.
+    ``key`` is a single key — per-SAMPLE keys are derived from it by global
+    sample index (device_index * local_batch + local_index), so the update is
+    identical for any device count over the same global batch (the
+    1-vs-8-device parity test in tests/test_parallel.py asserts this).
     """
 
-    def loss_fn(params, inputs_norm, condition_norm, key):
+    def loss_fn(params, inputs_norm, condition_norm, sample_keys):
         denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
-        return diffusion.loss(denoise, inputs_norm, condition_norm, key)
+        return diffusion.loss(
+            denoise, inputs_norm, condition_norm, None, sample_keys=sample_keys
+        )
 
     def device_step(state: TrainState, inputs_norm, condition_norm, key):
         idx = jax.lax.axis_index("data")
-        key = jax.random.fold_in(key, idx)
+        local_b = inputs_norm.shape[0]
+        global_idx = idx * local_b + jnp.arange(local_b)
+        sample_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(global_idx)
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, inputs_norm, condition_norm, key
+            state.params, inputs_norm, condition_norm, sample_keys
         )
         # average across the data axis -> identical update everywhere
         grads = jax.lax.pmean(grads, axis_name="data")
@@ -119,6 +131,32 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P()),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_eval(mesh: Mesh, fn: Callable):
+    """Shard an embarrassingly-parallel evaluation sweep over the mesh.
+
+    ``fn(params, x0, key) -> pytree`` is one evaluation (e.g. a full fused
+    closed loop from `control.make_closed_loop`). Returns a jitted
+    ``sweep(params, x0s, keys)`` that vmaps ``fn`` over the LOCAL shard on
+    each device, with the (x0s, keys) batch sharded over 'data' and params
+    replicated — the multi-chip path for the reference's initial-state
+    sweeps (`Diffusion_MPC_Inference.py:153-174` runs them serially).
+
+    The global batch (leading dim of x0s/keys) must divide the mesh size.
+    """
+
+    def local_sweep(params, x0s, keys):
+        return jax.vmap(lambda x0, k: fn(params, x0, k))(x0s, keys)
+
+    sharded = shard_map(
+        local_sweep,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"),
         check_vma=False,
     )
     return jax.jit(sharded)

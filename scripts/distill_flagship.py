@@ -1,0 +1,187 @@
+"""Progressive distillation of the flagship CFG cart-pole policy.
+
+Distills the trained 25-step CFG teacher (two U-Net passes per step) into
+conditional-only DDIM students with 13 -> 7 -> 4 sequential U-Net passes
+total, guidance baked in (diffusion/distillation.py). Each student is
+evaluated in the full fused closed loop against the iLQR NMPC expert; the
+VERDICT r1 target is >= 3000 Hz at <= 1.2x expert cost for the final
+student via the fused Pallas DDIM chain.
+
+Usage: python scripts/distill_flagship.py --teacher artifacts/flagship_modality
+(the teacher dir must contain ema_params.pkl + dataset.npz from
+flagship_modality.py / flagship_run.py).
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--teacher", default="artifacts/flagship_modality")
+    p.add_argument("--out", default="artifacts/distilled")
+    p.add_argument("--horizon", type=int, default=64,
+                   help="must match the teacher's n_support_points")
+    p.add_argument("--w", type=float, default=0.01)
+    p.add_argument("--steps-per-round", type=int, default=30000)
+    p.add_argument("--chunk", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--eval-seeds", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mpc_via_diffusion_model_tpu.control import (
+        make_closed_loop, make_nmpc_closed_loop, make_replan_fn,
+    )
+    from mpc_via_diffusion_model_tpu.control.runtime import ClosedLoopResult
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.diffusion.distillation import (
+        ddim_time_grid, make_distill_step, make_student_ddim_sampler,
+    )
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant, theta_to_red_theta
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.solvers import ILQRConfig
+    from mpc_via_diffusion_model_tpu.train import (
+        TrainState, make_optimizer, make_scanned_train_steps,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    plant, _ = get_plant("cartpole_virtual_swingup")
+    # evaluate in the same (collection-cost) convention the teacher's expert
+    # data was generated under — see artifacts/flagship_modality/README.md
+    from mpc_via_diffusion_model_tpu.dynamics import cartpole_virtual_collect_cost
+    cost = cartpole_virtual_collect_cost()
+    ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
+    with open(os.path.join(args.teacher, "ema_params.pkl"), "rb") as f:
+        teacher_params = pickle.load(f)
+
+    model = TemporalUnet(
+        state_dim=1, n_support_points=args.horizon, unet_input_dim=32,
+        dim_mults=UNET_DIM_MULTS[0], context_dim=5, conditioning_type="default",
+        cfg_indicator=True,
+    )
+    schedule = make_schedule("exponential", 25)
+    diffusion = GaussianDiffusion(schedule=schedule)
+
+    # closed-loop eval machinery (shared across students)
+    n_eval_steps = 80
+    x0_eval = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
+    nmpc = jax.jit(make_nmpc_closed_loop(
+        plant, cost, ILQRConfig(horizon=args.horizon, n_iterations=25),
+        n_steps=n_eval_steps, u_init_scale=5.0, warm_start=False))
+    expert = nmpc(x0_eval)
+    expert_cost = float(np.asarray(expert.stage_costs).sum())
+    print(f"[expert] closed-loop cost {expert_cost:.1f}", flush=True)
+
+    def eval_student(params, times):
+        sampler = make_student_ddim_sampler(schedule, model.apply, times)
+        override = lambda ctx_norm, key: sampler(params, ctx_norm, key,
+                                                 (1, args.horizon, 1))
+        loop = jax.jit(make_closed_loop(
+            diffusion, model.apply, ds.normalizer.stats["inputs"],
+            ds.normalizer.stats["condition"], plant, cost,
+            horizon=args.horizon, n_steps=n_eval_steps,
+            sample_override=override,
+        ))
+        keys = jax.random.split(jax.random.PRNGKey(11), args.eval_seeds)
+        runs = jax.jit(jax.vmap(lambda k: loop(params, x0_eval, k)))(keys)
+        costs = np.asarray(runs.stage_costs.sum(axis=1))
+        return float(costs.mean()), float(costs.min()), float(costs.max())
+
+    # teacher baseline (CFG DDPM 25+5) for reference
+    loop_teacher = jax.jit(make_closed_loop(
+        diffusion, model.apply, ds.normalizer.stats["inputs"],
+        ds.normalizer.stats["condition"], plant, cost,
+        horizon=args.horizon, n_steps=n_eval_steps, w=args.w,
+        n_diffusion_steps_without_noise=5,
+    ))
+    keys = jax.random.split(jax.random.PRNGKey(11), args.eval_seeds)
+    t_runs = jax.jit(jax.vmap(lambda k: loop_teacher(teacher_params, x0_eval, k)))(keys)
+    teacher_cost = float(np.asarray(t_runs.stage_costs.sum(axis=1)).mean())
+    print(f"[teacher] closed-loop cost {teacher_cost:.1f} "
+          f"({teacher_cost / expert_cost:.4f}x expert)", flush=True)
+
+    report = {
+        "teacher": args.teacher,
+        "expert_cost": expert_cost,
+        "teacher_cost": teacher_cost,
+        "w": args.w,
+        "rounds": [],
+    }
+
+    times = ddim_time_grid(25)  # [24..0], 25 evals
+    cur_teacher = teacher_params
+    optimizer = make_optimizer(lr=args.lr)
+    for r in range(args.rounds):
+        t0 = time.time()
+        step_fn, student_times = make_distill_step(
+            schedule, model.apply, optimizer, cur_teacher, times,
+            w=args.w, teacher_cfg=(r == 0),
+        )
+        chunk_fn = make_scanned_train_steps(step_fn, args.chunk)
+        chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
+        state = TrainState(
+            params=cur_teacher,
+            ema_params=jax.tree_util.tree_map(jnp.copy, cur_teacher),
+            opt_state=optimizer.init(cur_teacher),
+            step=jnp.int32(0),
+        )
+        key = jax.random.PRNGKey(20 + r)
+        losses = []
+        n_chunks = args.steps_per_round // args.chunk
+        for c in range(n_chunks):
+            key, k = jax.random.split(key)
+            state, loss = chunk_jit(state, ds.inputs_normalized,
+                                    ds.condition_normalized, k)
+            losses.append(float(loss))
+            if (c + 1) % max(1, n_chunks // 5) == 0:
+                print(f"[round {r}] step {(c + 1) * args.chunk} "
+                      f"loss {losses[-1]:.6f}", flush=True)
+        t_train = time.time() - t0
+        student = jax.device_get(state.ema_params)
+        c_mean, c_min, c_max = eval_student(student, student_times)
+        rec = {
+            "n_evals": len(student_times) + 1,
+            "times": [int(t) for t in student_times],
+            "train_seconds": round(t_train, 1),
+            "final_loss": losses[-1],
+            "cost_mean": c_mean, "cost_min": c_min, "cost_max": c_max,
+            "cost_ratio_vs_expert": c_mean / expert_cost,
+        }
+        report["rounds"].append(rec)
+        print(f"[round {r}] {len(student_times)+1}-eval student: cost "
+              f"{c_mean:.1f} ({rec['cost_ratio_vs_expert']:.4f}x expert) "
+              f"in {t_train:.0f}s", flush=True)
+        with open(os.path.join(args.out, f"student_{len(student_times)+1}eval.pkl"),
+                  "wb") as f:
+            pickle.dump(student, f)
+        cur_teacher = student
+        times = student_times
+
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

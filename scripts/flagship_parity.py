@@ -66,7 +66,6 @@ def main():
 
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
-    from mpc_via_diffusion_model_tpu.data.normalization import normalize, unnormalize
     from mpc_via_diffusion_model_tpu.data.reference_lmpc import (
         REFERENCE_PARITY_U_L1,
         REFERENCE_X0_101,
@@ -98,54 +97,21 @@ def main():
     u_mpc = {k: np.load(f"{REF_BASE}/{k}/u_mpc.npy")[0] for k in x0s}
     u_diff_ref = {k: np.load(f"{REF_BASE}/{k}/u_diffusion.npy")[0] for k in x0s}
 
-    def eval_model(diffusion, apply_fn, params, n_cand, seed, x0_np, cfg_indicator=False):
-        """The exact Condition_Weight_Inference protocol: 50 steps, sample,
-        round(u, 4), exact ZoH plant in fp64 on host."""
-        horizon = 8
-
-        def sample(params, ctx_norm, key):
-            ctx = jnp.broadcast_to(ctx_norm[None, :], (n_cand, 4))
-            dn = lambda x, t, c, m: apply_fn(params, x, t, c, m)
-            return diffusion.ddpm_cfg_sample(
-                dn, (n_cand, horizon, 1), key, ctx, w=0.01,
-                n_diffusion_steps_without_noise=5,
-            )
-
-        sample_j = jax.jit(sample)
-        x = x0_np.copy()
-        key = jax.random.PRNGKey(seed)
-        us = []
-        for _ in range(50):
-            ctx_norm = normalize(ds.normalizer.stats["condition"], jnp.asarray(x, jnp.float32))
-            key, k = jax.random.split(key)
-            u_norm = sample_j(params, ctx_norm, k)
-            u_cand = np.asarray(unnormalize(ds.normalizer.stats["inputs"], u_norm))[..., 0]  # (n_cand, 8)
-            if n_cand > 1:
-                # min quadratic-cost candidate via exact fp64 rollout
-                best, best_j = 0, np.inf
-                for c in range(n_cand):
-                    xx, jj = x.copy(), 0.0
-                    for t in range(horizon):
-                        jj += xx @ np.diag([10, 1, 10, 1.0]) @ xx + u_cand[c, t] ** 2
-                        xx = a_d @ xx + b_d[:, 0] * u_cand[c, t]
-                    jj += xx @ np.diag([100, 1, 100, 1.0]) @ xx
-                    if jj < best_j:
-                        best, best_j = c, jj
-                u_row = u_cand[best]
-            else:
-                u_row = u_cand[0]
-            applied = round(float(u_row[0]), 4)
-            us.append(applied)
-            x = a_d @ x + b_d[:, 0] * applied
-        return np.asarray(us)
+    from mpc_via_diffusion_model_tpu.eval.reference_protocol import make_lmpc_eval
 
     def run_rows(name, diffusion, apply_fn, params, cfg_indicator=False):
+        # the exact Condition_Weight_Inference protocol (50 steps, round(u,4),
+        # exact fp64 ZoH plant on host), shared with study_reference_sweeps
+        evaluate = make_lmpc_eval(
+            diffusion, apply_fn, ds.normalizer.stats["inputs"],
+            ds.normalizer.stats["condition"], a_d, b_d,
+        )
         rows = {}
         for tag, x0 in x0s.items():
             for n_cand in (1, 8):
                 l1s, maxs = [], []
                 for s in range(args.seeds):
-                    us = eval_model(diffusion, apply_fn, params, n_cand, 1000 + s, x0, cfg_indicator)
+                    us = evaluate(params, x0, 0.01, 1000 + s, n_cand=n_cand)
                     d = np.abs(us - u_mpc[tag])
                     l1s.append(float(d.sum()))
                     maxs.append(float(d.max()))

@@ -1,0 +1,131 @@
+"""Progressive distillation: grid halving, DDIM-algebra parity with the
+scan sampler, the fused Pallas DDIM chain (interpret mode), and a tiny
+end-to-end distill round."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+from mpc_via_diffusion_model_tpu.diffusion.distillation import (
+    ddim_affine_coefs,
+    ddim_time_grid,
+    halve_times,
+    make_distill_step,
+    make_student_ddim_sampler,
+)
+from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+from mpc_via_diffusion_model_tpu.train import TrainState, make_optimizer
+
+
+def test_grid_halving_nests():
+    g = ddim_time_grid(25)
+    assert g[0] == 24 and g[-1] == 0 and len(g) == 25
+    g12 = halve_times(g)
+    g6 = halve_times(g12)
+    g3 = halve_times(g6)
+    assert g12 == list(range(24, -1, -2))
+    assert g6 == [24, 20, 16, 12, 8, 4, 0]
+    assert g3 == [24, 16, 8, 0]
+    # nesting: every coarser grid is a subset of the finer one
+    assert set(g3) <= set(g6) <= set(g12) <= set(g)
+
+
+def _tiny_model(horizon=8, cond_dim=3):
+    model = TemporalUnet(
+        state_dim=1, n_support_points=horizon, unet_input_dim=8,
+        dim_mults=(1, 2), context_dim=cond_dim, conditioning_type="default",
+    )
+    x = jnp.zeros((2, horizon, 1))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, cond_dim)), jnp.zeros((2, 1)))
+    return model, params
+
+
+def test_student_sampler_matches_ddim_sample():
+    """The affine-coef sampler must reproduce GaussianDiffusion.ddim_sample
+    (eta=0, w=0, same time grid, same initial noise)."""
+    model, params = _tiny_model()
+    schedule = make_schedule("exponential", 10)
+    diffusion = GaussianDiffusion(schedule=schedule, clip_denoised=False)
+    ctx = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    key = jax.random.PRNGKey(42)
+
+    # ddim_sample's grid for K=3: linspace(0, 9, 4) = [0, 3, 6, 9]
+    ref = diffusion.ddim_sample(
+        lambda x, t, c, m: model.apply(params, x, t, c, m),
+        (4, 8, 1), key, context=ctx, sampling_timesteps=3, eta=0.0, w=0.0,
+    )
+    times = [9, 6, 3, 0]
+    sampler = make_student_ddim_sampler(schedule, model.apply, times)
+    k_init, _ = jax.random.split(key)  # ddim_sample's internal init split
+    out = sampler(params, ctx, k_init, (4, 8, 1))
+    # untrained eps + exponential schedule blow values up to ~1e6, so the
+    # meaningful bound is relative
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ddim_chain_matches_scan():
+    from mpc_via_diffusion_model_tpu.ops.fused_denoise import make_fused_ddim_chain
+
+    model, params = _tiny_model()
+    schedule = make_schedule("exponential", 10)
+    times = [9, 6, 3, 0]
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 3), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    sampler = make_student_ddim_sampler(schedule, model.apply, times)
+    ref = sampler(params, ctx, key, (2, 8, 1))
+    fused = make_fused_ddim_chain(model, params, schedule, times, n_samples=2,
+                                  interpret=True)
+    out = fused(ctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_distill_round_learns():
+    """A tiny distillation round: loss is finite, the student moves, and the
+    distill loss drops vs its starting value."""
+    model, params = _tiny_model()
+    schedule = make_schedule("exponential", 10)
+    teacher_times = [9, 6, 3, 0]
+
+    optimizer = make_optimizer(lr=1e-3)
+    step_fn, student_times = make_distill_step(
+        schedule, model.apply, optimizer, params, teacher_times,
+        w=0.1, teacher_cfg=True, step_start_ema=5, update_ema_every=1,
+    )
+    assert student_times == [9, 3]
+
+    rng = np.random.RandomState(3)
+    x0 = jnp.asarray(rng.randn(32, 8, 1), jnp.float32).clip(-1, 1)
+    ctx = jnp.asarray(rng.randn(32, 3), jnp.float32)
+
+    state = TrainState(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+        step=jnp.int32(0),
+    )
+    step_jit = jax.jit(step_fn)
+    losses = []
+    key = jax.random.PRNGKey(9)
+    for i in range(60):
+        key, k = jax.random.split(key)
+        state, metrics = step_jit(state, x0, ctx, k)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    # student params actually moved
+    p0 = jax.tree_util.tree_leaves(params)[0]
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert float(jnp.max(jnp.abs(p1 - p0))) > 0
+
+
+def test_affine_coefs_final_step_is_recon():
+    schedule = make_schedule("exponential", 10)
+    C = ddim_affine_coefs(schedule, [9, 0])
+    # final pair (0, -1): x <- recon exactly
+    assert C["c1"][-1] == 1.0 and C["c2"][-1] == 0.0
+    # student C1 coefficients are safely away from zero (divide-by-C1 in the
+    # distill target stays conditioned)
+    assert np.all(np.abs(C["c1"][:-1]) > 1e-3)
