@@ -40,9 +40,20 @@ __all__ = [
 ]
 
 
-def ddim_time_grid(n_steps: int) -> List[int]:
-    """Finest DDIM grid: every timestep, descending ([T-1, ..., 1, 0])."""
-    return list(range(n_steps - 1, -1, -1))
+def ddim_time_grid(n_steps: int, t_start: int | None = None) -> List[int]:
+    """Finest DDIM grid: every timestep, descending ([t_start, ..., 1, 0]).
+
+    ``t_start`` defaults to the final timestep (T-1). For schedules whose
+    terminal ``alphas_cumprod`` underflows (the reference's exponential
+    schedule clamps abar[T-1] to 1e-12, so sqrt(1/abar) = 1e6 and the
+    recon-space distill loss amplifies eps errors by 1e12), pass
+    ``t_start = n_steps - 2`` to skip the degenerate endpoint: the signal
+    content at abar = 1e-12 is 1e-6, so treating the initial N(0, 1) draw as
+    x_{T-2} loses nothing measurable while keeping every distill pair
+    conditioned."""
+    if t_start is None:
+        t_start = n_steps - 1
+    return list(range(t_start, -1, -1))
 
 
 def halve_times(times: Sequence[int]) -> List[int]:
@@ -99,6 +110,7 @@ def make_distill_step(
     teacher_times: Sequence[int],
     w: float = 0.0,
     teacher_cfg: bool = False,
+    clip_denoised: bool = True,
     ema_decay: float = 0.995,
     step_start_ema: int = 200,
     update_ema_every: int = 10,
@@ -182,17 +194,23 @@ def make_distill_step(
         expand = lambda v: v.reshape((b,) + (1,) * (x0.ndim - 1))
         x_t = expand(sqrt_ab[t_hi]) * x0 + expand(sqrt_1mab[t_hi]) * noise
 
-        # two teacher DDIM sub-steps (stop-gradient targets)
+        # two teacher DDIM sub-steps (stop-gradient targets). Teacher recons
+        # are clamped to [-1, 1] exactly as the DDPM sampler that produced the
+        # teacher's closed-loop behavior does (GaussianDiffusion.clip_denoised,
+        # reference diffusion_model_base.py:155-158) — without the clamp, a
+        # recon at small abar amplifies teacher eps error by sqrt(1/abar) and
+        # those pairs dominate every gradient.
+        clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_denoised else (lambda v: v)
         eps_a = teacher_eps(x_t, t_hi, ctx)
-        recon_a = expand(T["a_sra"][j]) * x_t - expand(T["a_srm"][j]) * eps_a
+        recon_a = clip(expand(T["a_sra"][j]) * x_t - expand(T["a_srm"][j]) * eps_a)
         x_mid = expand(T["a_c1"][j]) * recon_a + expand(T["a_c2"][j]) * x_t
         eps_b = teacher_eps(x_mid, T["mid"][j], ctx)
-        recon_b = expand(T["b_sra"][j]) * x_mid - expand(T["b_srm"][j]) * eps_b
+        recon_b = clip(expand(T["b_sra"][j]) * x_mid - expand(T["b_srm"][j]) * eps_b)
         x_tgt = expand(T["b_c1"][j]) * recon_b + expand(T["b_c2"][j]) * x_mid
 
         # the x0 the student must predict so ONE step lands at x_tgt
         recon_star = (x_tgt - expand(T["s_c2"][j]) * x_t) / expand(T["s_c1"][j])
-        recon_star = jax.lax.stop_gradient(recon_star)
+        recon_star = jax.lax.stop_gradient(clip(recon_star))
 
         eps_s = apply_fn(params, x_t, t_hi, ctx, jnp.zeros((b, 1), x0.dtype))
         recon_s = expand(T["a_sra"][j]) * x_t - expand(T["a_srm"][j]) * eps_s
@@ -234,10 +252,13 @@ def make_student_ddim_sampler(
     schedule: DiffusionSchedule,
     apply_fn: Callable,
     times: Sequence[int],
+    clip_denoised: bool = True,
 ):
     """Pure-XLA reference sampler for a distilled student: conditional-only
     affine DDIM chain over the static ``times`` grid (the Pallas counterpart
-    is `ops.fused_denoise.make_fused_ddim_chain`).
+    is `ops.fused_denoise.make_fused_ddim_chain`). ``clip_denoised`` clamps
+    the per-step x0 reconstruction to [-1, 1], matching both the distill
+    targets and the DDPM sampler the teacher was validated under.
 
     Returns ``sample(params, context, key, shape) -> x`` with
     shape = (n_samples, horizon, d)."""
@@ -256,6 +277,8 @@ def make_student_ddim_sampler(
             t = jnp.full((b,), t_tab[i], jnp.int32)
             eps = apply_fn(params, x, t, context, mask)
             recon = sra[i] * x - srm[i] * eps
+            if clip_denoised:
+                recon = jnp.clip(recon, -1.0, 1.0)
             return c1[i] * recon + c2[i] * x, None
 
         x, _ = jax.lax.scan(body, x, jnp.arange(n))

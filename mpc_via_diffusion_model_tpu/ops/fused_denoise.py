@@ -185,16 +185,17 @@ def make_fused_ddim_chain(
     times,
     n_samples: int = 1,
     weights_dtype=jnp.float32,
+    clip_denoised: bool = True,
     interpret: bool = False,
 ) -> Callable:
     """The distilled/conditional DDIM chain as ONE Pallas kernel.
 
     Runs `diffusion.distillation.make_student_ddim_sampler`'s affine update
-    ``x <- c1(t) recon + c2(t) x`` over the static ``times`` grid with NO CFG
-    doubling (the guidance weight is baked into the distilled student) and no
-    injected noise — the whole few-step sampler is len(times)+1 sequential
-    U-Net bodies inside one `lax.fori_loop`. Semantics match the XLA sampler
-    to fp tolerance (tests/test_distillation.py).
+    ``x <- c1(t) clip(recon) + c2(t) x`` over the static ``times`` grid with
+    NO CFG doubling (the guidance weight is baked into the distilled student)
+    and no injected noise — the whole few-step sampler is len(times)+1
+    sequential U-Net bodies inside one `lax.fori_loop`. Semantics match the
+    XLA sampler to fp tolerance (tests/test_distillation.py).
     """
     from ..diffusion.distillation import ddim_affine_coefs
 
@@ -247,6 +248,8 @@ def make_fused_ddim_chain(
             c1_t = coef_ref[si, 2]
             c2_t = coef_ref[si, 3]
             recon = sra_t * x - srm_t * eps
+            if clip_denoised:
+                recon = jnp.clip(recon, -1.0, 1.0)
             return c1_t * recon + c2_t * x
 
         x = jax.lax.fori_loop(0, n_total, step_body, noise_ref[...].reshape(rows, d_state))

@@ -31,7 +31,10 @@ class MPPIConfig:
     n_samples: int = 1024
     n_iterations: int = 8
     temperature: float = 1.0
-    noise_sigma: float = 5.0
+    # scalar, or a per-control-channel tuple (essential when channels have
+    # wildly different scales — e.g. quadrotor thrust ~10 N vs torques on
+    # inertias of 0.01 kg m^2, where scalar noise blows up every rollout)
+    noise_sigma: float | Tuple[float, ...] = 5.0
     noise_decay: float = 0.7  # sigma shrinks per iteration (CEM-flavored)
 
 
@@ -61,14 +64,20 @@ def mppi_solve(
         u, sigma = carry
         eps = jax.random.normal(k, (config.n_samples, config.horizon, m)) * sigma
         costs = batched_cost(u[None] + eps)
-        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        # Mask diverged rollouts to a LARGE FINITE cost, not inf: if every
+        # rollout diverges (stiff plants under wide exploration noise),
+        # inf - inf = nan would poison the softmax and u forever; with a
+        # finite ceiling the all-bad case degrades to uniform weights
+        # (u <- u + mean eps ~= u) and the solve stays finite.
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
         beta = jnp.min(costs)
         w = jax.nn.softmax(-(costs - beta) / config.temperature)
         u_new = u + jnp.einsum("n,nhm->hm", w, eps)
         return (u_new, sigma * config.noise_decay), None
 
+    sigma0 = jnp.broadcast_to(jnp.asarray(config.noise_sigma, jnp.float32), (m,))
     keys = jax.random.split(key, config.n_iterations)
-    (u, _), _ = jax.lax.scan(iteration, (u_init, jnp.float32(config.noise_sigma)), keys)
+    (u, _), _ = jax.lax.scan(iteration, (u_init, sigma0), keys)
     return u, _rollout_cost(plant, cost, x0, u)
 
 

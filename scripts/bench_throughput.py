@@ -1,10 +1,15 @@
-"""Secondary benchmarks: DDIM fast mode + batched candidate sweeps.
+"""Secondary benchmarks: DDIM fast mode, candidate sweeps, distilled student.
 
 Covers BASELINE.json configs beyond the headline:
 - configs[2]: DDIM sampler (T//5 steps) closed loop,
 - configs[3]: batched candidate sampling (n candidates per replan with
-  min-cost selection),
-- configs[1]: pendulum + PointUnet-style short-horizon denoiser.
+  min-cost selection; default 4096/replan per the config),
+- configs[1]: pendulum + PointUnet-style short-horizon denoiser,
+- distilled: the progressively-distilled 3-eval student
+  (scripts/distill_flagship.py) through the fused Pallas DDIM chain —
+  the few-step closed loop with guidance baked in. Uses the committed
+  artifacts/distilled weights when present (and reports the closed-loop
+  cost ratio vs the stored expert cost), synthetic weights otherwise.
 
 Prints one JSON line per config.
 """
@@ -37,7 +42,7 @@ def _time_loop(run, *args, n_rep=3):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--candidates", type=int, default=256)
+    p.add_argument("--candidates", type=int, default=4096)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -123,6 +128,58 @@ def main():
     dt = _time_loop(ploop_j, pparams, jnp.array([np.pi, 0.0]), key)
     print(json.dumps({"metric": "pendulum_pointunet_closed_loop_hz",
                       "value": round(n_steps / dt, 1), "unit": "Hz"}), flush=True)
+
+    # --- distilled few-step student through the fused Pallas DDIM chain ---
+    import os
+    import pickle
+
+    from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+    from mpc_via_diffusion_model_tpu.ops.fused_denoise import make_fused_ddim_chain
+
+    d_horizon = 64
+    dmodel = TemporalUnet(state_dim=1, n_support_points=d_horizon,
+                          unet_input_dim=32, dim_mults=UNET_DIM_MULTS[0],
+                          context_dim=5, conditioning_type="default",
+                          cfg_indicator=True)
+    art = "artifacts/distilled"
+    teacher_art = "artifacts/flagship_modality"
+    report = {}
+    if os.path.exists(os.path.join(art, "report.json")):
+        with open(os.path.join(art, "report.json")) as f:
+            report = json.load(f)
+    times = report.get("rounds", [{}])[-1].get("times", [23, 15, 7])
+    pkl = os.path.join(art, f"student_{len(times)}eval.pkl")
+    real_weights = os.path.exists(pkl) and os.path.exists(
+        os.path.join(teacher_art, "dataset.npz"))
+    if real_weights:
+        with open(pkl, "rb") as f:
+            dparams = pickle.load(f)
+        dds = ControlSequenceDataset.load(os.path.join(teacher_art, "dataset.npz"))
+        d_in_stats = dds.normalizer.stats["inputs"]
+        d_c_stats = dds.normalizer.stats["condition"]
+    else:
+        dx = jnp.zeros((1, d_horizon, 1))
+        dparams = dmodel.init(jax.random.PRNGKey(3), dx, jnp.zeros((1,), jnp.int32),
+                              jnp.zeros((1, 5)), jnp.zeros((1, 1)))
+        d_in_stats, d_c_stats = inputs_stats, cond_stats
+    chain = make_fused_ddim_chain(dmodel, dparams, diffusion.schedule, times,
+                                  n_samples=1)
+    # the collection-cost convention — the same one the distill report's
+    # expert_cost was computed under (scripts/distill_flagship.py)
+    from mpc_via_diffusion_model_tpu.dynamics import cartpole_virtual_collect_cost
+    dloop = jax.jit(make_closed_loop(
+        diffusion, dmodel.apply, d_in_stats, d_c_stats, plant,
+        cartpole_virtual_collect_cost(),
+        horizon=d_horizon, n_steps=n_steps, sample_override=chain))
+    dt = _time_loop(dloop, dparams, x0, key)
+    row = {"metric": f"distilled_{len(times)}eval_closed_loop_hz",
+           "value": round(n_steps / dt, 1), "unit": "Hz",
+           "real_weights": bool(real_weights)}
+    if real_weights and "expert_cost" in report:
+        out = dloop(dparams, x0, key)
+        c = float(jnp.sum(out.stage_costs))
+        row["cost_ratio_vs_expert"] = round(c / report["expert_cost"], 4)
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,9 @@ def main():
     p.add_argument("--eval-starts", type=int, default=16)
     p.add_argument("--guide-scale", type=float, default=0.1)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--reuse", action="store_true",
+                   help="load dataset.npz + checkpoints/final.ckpt from --out "
+                        "instead of re-collecting/re-training (eval iteration)")
     args = p.parse_args()
 
     import jax
@@ -83,12 +86,13 @@ def main():
         @staticmethod
         def stage(x, u):
             du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
+            # obstacle_cost sums over (H, n_obs); x[None] is H=1 -> scalar
             return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii)[0])
+                    + obstacle_cost(x[None], centers, radii))
 
         @staticmethod
         def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)[0]
+            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
 
     task_cost = TaskCost()
 
@@ -98,8 +102,11 @@ def main():
     starts[:, 0] = rng.uniform(2.2, 3.0, args.n_starts)        # x
     starts[:, 1] = rng.uniform(-1.2, 1.2, args.n_starts)       # y
     starts[:, 2] = rng.uniform(0.6, 1.4, args.n_starts)        # z
+    # per-channel exploration noise: thrust rides on ~9.81 N; torques act on
+    # inertias of 0.01 kg m^2 (omega_dot = tau/I), so torque noise must be
+    # ~10x smaller or every rollout blows up within the 48-step horizon
     mppi_cfg = MPPIConfig(horizon=args.horizon, n_samples=256, n_iterations=8,
-                          noise_sigma=2.0, temperature=1.0)
+                          noise_sigma=(2.0, 0.15, 0.15, 0.15), temperature=1.0)
 
     u_hover = jnp.tile(jnp.array([m_hover, 0.0, 0.0, 0.0]), (args.horizon, 1))
 
@@ -124,19 +131,38 @@ def main():
         _, outs = jax.lax.scan(step, (x0, u_hover), keys)
         return outs
 
+    ds_path = os.path.join(args.out, "dataset.npz")
+    ckpt_path = os.path.join(args.out, "checkpoints", "final.ckpt")
+    reuse = args.reuse and os.path.exists(ds_path) and os.path.exists(ckpt_path)
+
     t0 = time.time()
-    keys = jax.random.split(jax.random.PRNGKey(1), args.n_starts)
-    outs = jax.jit(jax.vmap(collect_one))(jnp.asarray(starts), keys)
-    xs = [np.asarray(outs[0][0]).reshape(-1, 12),
-          np.asarray(outs[0][1]).reshape(-1, args.horizon, 4)]
-    if args.noisy > 0:
-        xs[0] = np.concatenate([xs[0], np.asarray(outs[1][0]).reshape(-1, 12)])
-        xs[1] = np.concatenate([xs[1], np.asarray(outs[1][1]).reshape(-1, args.horizon, 4)])
-    x_cat, u_cat = xs[0], xs[1]
-    t_collect = time.time() - t0
-    print(f"[collect] {len(x_cat)} MPPI samples in {t_collect:.1f}s", flush=True)
-    ds = ControlSequenceDataset.from_arrays(u_cat, x_cat)
-    ds.save(os.path.join(args.out, "dataset.npz"))
+    if reuse:
+        ds = ControlSequenceDataset.load(ds_path)
+        x_cat = np.asarray(ds.condition)
+        t_collect = 0.0
+        n_dropped = 0
+        print(f"[collect] reused {len(x_cat)} samples from {ds_path}", flush=True)
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(1), args.n_starts)
+        outs = jax.jit(jax.vmap(collect_one))(jnp.asarray(starts), keys)
+        xs = [np.asarray(outs[0][0]).reshape(-1, 12),
+              np.asarray(outs[0][1]).reshape(-1, args.horizon, 4)]
+        if args.noisy > 0:
+            xs[0] = np.concatenate([xs[0], np.asarray(outs[1][0]).reshape(-1, 12)])
+            xs[1] = np.concatenate([xs[1], np.asarray(outs[1][1]).reshape(-1, args.horizon, 4)])
+        x_cat, u_cat = xs[0], xs[1]
+        # drop diverged samples (same role as generation.py's non-finite
+        # masking for iLQR): a closed-loop start that escapes the flyable
+        # envelope yields astronomical states that wreck the Limits normalizer
+        ok = (np.isfinite(x_cat).all(axis=1) & np.isfinite(u_cat).all(axis=(1, 2))
+              & (np.abs(x_cat).max(axis=1) < 50.0) & (np.abs(u_cat).max(axis=(1, 2)) < 100.0))
+        n_dropped = int((~ok).sum())
+        x_cat, u_cat = x_cat[ok], u_cat[ok]
+        t_collect = time.time() - t0
+        print(f"[collect] {len(x_cat)} MPPI samples in {t_collect:.1f}s "
+              f"({n_dropped} diverged samples dropped)", flush=True)
+        ds = ControlSequenceDataset.from_arrays(u_cat, x_cat)
+        ds.save(ds_path)
 
     # ---------------- 2) train ---------------- #
     model = TemporalUnet(
@@ -148,25 +174,32 @@ def main():
     params = model.init(jax.random.PRNGKey(2), jnp.zeros((2, args.horizon, 4)),
                         jnp.zeros((2,), jnp.int32), jnp.zeros((2, 12)),
                         jnp.zeros((2, 1)))
-    optimizer = make_optimizer(lr=3e-3)
-    train_step = make_train_step(diffusion, model.apply, optimizer)
-    chunk_fn = make_scanned_train_steps(train_step, args.chunk)
-    chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
-    state = TrainState(params, jax.tree_util.tree_map(jnp.copy, params),
-                       optimizer.init(params), jnp.int32(0))
-    key = jax.random.PRNGKey(3)
-    t0 = time.time()
-    losses = []
-    for c in range(args.train_steps // args.chunk):
-        key, k = jax.random.split(key)
-        state, loss = chunk_jit(state, ds.inputs_normalized, ds.condition_normalized, k)
-        losses.append(float(loss))
-    t_train = time.time() - t0
-    print(f"[train] {args.train_steps} steps in {t_train:.1f}s; "
-          f"loss {losses[0]:.5f} -> {losses[-1]:.5f}", flush=True)
-    save_checkpoint(os.path.join(args.out, "checkpoints", "final.ckpt"), state)
-    with open(os.path.join(args.out, "ema_params.pkl"), "wb") as f:
-        pickle.dump(jax.device_get(state.ema_params), f)
+    if reuse:
+        from mpc_via_diffusion_model_tpu.train import load_checkpoint
+        state, _ = load_checkpoint(ckpt_path)
+        t_train = 0.0
+        losses = [float("nan")]
+        print(f"[train] reused checkpoint {ckpt_path}", flush=True)
+    else:
+        optimizer = make_optimizer(lr=3e-3)
+        train_step = make_train_step(diffusion, model.apply, optimizer)
+        chunk_fn = make_scanned_train_steps(train_step, args.chunk)
+        chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
+        state = TrainState(params, jax.tree_util.tree_map(jnp.copy, params),
+                           optimizer.init(params), jnp.int32(0))
+        key = jax.random.PRNGKey(3)
+        t0 = time.time()
+        losses = []
+        for c in range(args.train_steps // args.chunk):
+            key, k = jax.random.split(key)
+            state, loss = chunk_jit(state, ds.inputs_normalized, ds.condition_normalized, k)
+            losses.append(float(loss))
+        t_train = time.time() - t0
+        print(f"[train] {args.train_steps} steps in {t_train:.1f}s; "
+              f"loss {losses[0]:.5f} -> {losses[-1]:.5f}", flush=True)
+        save_checkpoint(ckpt_path, state)
+        with open(os.path.join(args.out, "ema_params.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(state.ema_params), f)
 
     # ---------------- 3) guided vs unguided closed loop ---------------- #
     u_stats = ds.normalizer.stats["inputs"]
@@ -186,6 +219,10 @@ def main():
 
         def guide(u_norm_batch):
             g = jax.vmap(grad_fn)(u_norm_batch)
+            # a partially-denoised u can blow the 48-step rollout up to inf,
+            # making g NaN — and clip(NaN) = NaN would poison the sample;
+            # mask to zero (guide no-op) before the clipped descent step
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
             # normalized, clipped descent step (reference clips guide grads)
             return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
 

@@ -57,7 +57,8 @@ def test_student_sampler_matches_ddim_sample():
         (4, 8, 1), key, context=ctx, sampling_timesteps=3, eta=0.0, w=0.0,
     )
     times = [9, 6, 3, 0]
-    sampler = make_student_ddim_sampler(schedule, model.apply, times)
+    sampler = make_student_ddim_sampler(schedule, model.apply, times,
+                                        clip_denoised=False)
     k_init, _ = jax.random.split(key)  # ddim_sample's internal init split
     out = sampler(params, ctx, k_init, (4, 8, 1))
     # untrained eps + exponential schedule blow values up to ~1e6, so the
@@ -74,12 +75,23 @@ def test_fused_ddim_chain_matches_scan():
     ctx = jnp.asarray(np.random.RandomState(1).randn(2, 3), jnp.float32)
     key = jax.random.PRNGKey(7)
 
-    sampler = make_student_ddim_sampler(schedule, model.apply, times)
-    ref = sampler(params, ctx, key, (2, 8, 1))
-    fused = make_fused_ddim_chain(model, params, schedule, times, n_samples=2,
-                                  interpret=True)
-    out = fused(ctx, key)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    for clip in (True, False):
+        sampler = make_student_ddim_sampler(schedule, model.apply, times,
+                                            clip_denoised=clip)
+        ref = sampler(params, ctx, key, (2, 8, 1))
+        fused = make_fused_ddim_chain(model, params, schedule, times,
+                                      n_samples=2, clip_denoised=clip,
+                                      interpret=True)
+        out = fused(ctx, key)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_time_grid_t_start_skips_degenerate_endpoint():
+    g = ddim_time_grid(25, t_start=23)
+    assert g[0] == 23 and g[-1] == 0 and len(g) == 24
+    # the distill grids halve cleanly down to a 3-eval student
+    assert halve_times(halve_times(halve_times(g))) == [23, 15, 7]
 
 
 def test_distill_round_learns():
