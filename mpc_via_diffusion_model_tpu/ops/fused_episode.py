@@ -1,0 +1,227 @@
+"""The ENTIRE receding-horizon episode as ONE Pallas TPU kernel.
+
+`fused_denoise.make_fused_ddim_chain` already runs a whole few-step sampler
+per kernel launch, but a closed loop launches it once per replan: measured on
+the 3-eval distilled student, the ~350 us fixed per-`pallas_call` cost
+(weight staging HBM->VMEM + Mosaic launch) dominates the ~50 us of U-Net
+compute, capping the loop at ~2.4 kHz. This kernel moves the REPLAN LOOP
+itself inside: all `n_steps` control steps — normalize state, denoise chain,
+unnormalize controls, plant step, stage cost — execute in one Mosaic
+program, so the weights are staged exactly once per episode and stay
+VMEM-resident across all `n_steps * len(times)` U-Net bodies.
+
+What the reference's loop does per control step on the host
+(`scripts/inference/Diffusion_MPC_Inference.py:191-290`: reload + compile,
+30 double U-Net launches, copy to CPU, numpy/CasADi plant step) is here ~0
+dispatches per step and 1 per episode.
+
+In-kernel additions over the per-replan kernels:
+- conditioning: the FiLM biases depend on the CURRENT plant state, which is
+  only known in-kernel — the time-embedding table is precomputed per grid
+  step, and each denoise step computes `mish([t_emb, ctx]) @ Wf_r + bf_r`
+  per residual block as small MXU matmuls (films stay a python list indexed
+  statically by the unrolled U-Net body; no padded stack needed),
+- the plant step and the diagonal quadratic stage cost are the library's own
+  pure `(x, u) -> x'` closures traced straight into the kernel (VPU scalar
+  math; `dynamics/base.py` contract),
+- the Limits normalizer affines (normalize state, clip-and-unnormalize
+  controls — the reference's saturate-at-dataset-limits semantics,
+  `normalization.py:156-167`) are baked as constants,
+- per-replan init noise is pre-drawn outside to match
+  `make_closed_loop`'s key-splitting semantics exactly
+  (`control/runtime.py:186-196`), so the episode is bit-comparable to the
+  per-replan path (tests/test_fused_episode.py).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.schedules import DiffusionSchedule
+from ..data.normalization import NormalizerStats
+from ..dynamics.base import Plant, QuadraticCost
+from ..models.layers import mish
+from ..models.temporal_unet import TemporalUnet
+from .fused_unet import build_unet_ops
+
+__all__ = ["make_fused_ddim_episode"]
+
+
+def _affine_consts(stats: NormalizerStats, dim: int):
+    """(shift, scale) so that normalize(x) = (x - shift) * scale; and the
+    inverse pair for unnormalize. Supports 'limits' and 'identity'."""
+    if stats.kind == "identity":
+        z = np.zeros((dim,), np.float32)
+        o = np.ones((dim,), np.float32)
+        return z, o, z, o
+    assert stats.kind == "limits", f"fused episode supports limits/identity, got {stats.kind}"
+    mins = np.asarray(stats.mins, np.float32)
+    maxs = np.asarray(stats.maxs, np.float32)
+    rng = maxs - mins
+    # normalize: 2 (x - min)/rng - 1  ==  (x - (min + rng/2)) * (2/rng)
+    n_shift = mins + 0.5 * rng
+    n_scale = 2.0 / rng
+    # unnormalize: (clip(x) + 1) * rng/2 + min
+    u_scale = 0.5 * rng
+    u_shift = mins + 0.5 * rng
+    return n_shift, n_scale, u_shift, u_scale
+
+
+def make_fused_ddim_episode(
+    model: TemporalUnet,
+    params,
+    schedule: DiffusionSchedule,
+    times,
+    inputs_stats: NormalizerStats,
+    condition_stats: NormalizerStats,
+    plant: Plant,
+    cost: QuadraticCost,
+    n_steps: int = 80,
+    weights_dtype=jnp.float32,
+    clip_denoised: bool = True,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``episode(x0, key) -> (x_track, u_track, stage_costs)`` — the
+    full distilled-student closed loop (conditional DDIM chain, guidance
+    baked in) as one kernel. Matches
+    ``make_closed_loop(..., sample_override=make_fused_ddim_chain(...))``
+    step for step (same per-replan key split, same clip/normalize semantics).
+    """
+    from ..diffusion.distillation import ddim_affine_coefs
+
+    assert not getattr(model, "predict_epsilon", True) is False
+    ops = build_unet_ops(model, params, 1, weights_dtype)
+    flat, body = list(ops["flat"]), ops["body"]
+    films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
+    horizon, n_res = ops["horizon"], ops["n_res"]
+    d_state = model.state_dim       # control channels (denoiser state)
+    dx = plant.state_dim
+    du = plant.control_dim
+    assert d_state == du, "episode kernel denoises control sequences"
+
+    C = ddim_affine_coefs(schedule, times)
+    n_total = len(C["t"])
+    coefs = jnp.asarray(
+        np.stack([C["sra"], C["srm"], C["c1"], C["c2"]], axis=1), jnp.float32
+    )  # (n_total, 4) -> SMEM
+
+    # time embeddings of the grid steps (n_total, emb), VMEM table
+    half = 16
+    emb_scale = np.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb_scale)
+    args = np.asarray(C["t"], np.float64)[:, None] * freqs[None, :]
+    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
+    te = time_p
+    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
+    t_embs = jnp.asarray(h1 @ np.asarray(te["Dense_1"]["kernel"]) + np.asarray(te["Dense_1"]["bias"]))
+
+    # FiLM dense weights appended to the flat weight list (unpadded — the
+    # in-kernel films are a python list indexed statically by body())
+    film_idx = []
+    for wf_, bf_ in films_w:
+        flat.append(jnp.asarray(wf_, jnp.float32))
+        flat.append(jnp.asarray(bf_, jnp.float32))
+        film_idx.append((len(flat) - 2, len(flat) - 1))
+    w1, b1 = f1_w
+    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
+    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+
+    cfg_indicator = bool(getattr(model, "cfg_indicator", False))
+
+    # normalizer affines ride the flat input list (pallas kernels may not
+    # capture concrete arrays); the quadratic-cost diagonals become unrolled
+    # python-float scalar math below for the same reason
+    cn_shift, cn_scale, _, _ = _affine_consts(condition_stats, dx)
+    _, _, un_shift, un_scale = _affine_consts(inputs_stats, du)
+    flat.append(jnp.asarray(cn_shift.reshape(1, dx))); cns_idx = len(flat) - 1
+    flat.append(jnp.asarray(cn_scale.reshape(1, dx))); cnc_idx = len(flat) - 1
+    flat.append(jnp.asarray(un_shift.reshape(1, du))); uns_idx = len(flat) - 1
+    flat.append(jnp.asarray(un_scale.reshape(1, du))); unc_idx = len(flat) - 1
+
+    q_diag = [float(v) for v in np.asarray(cost.q_diag).reshape(-1)]
+    r_diag = list(np.broadcast_to(np.asarray(cost.r, np.float64).reshape(-1), (du,)))
+
+    rows = horizon  # n_samples = 1
+
+    def kernel(x0_ref, noise_ref, tembs_ref, coef_ref, *refs):
+        xtr_ref, utr_ref, cost_ref = refs[-3:]
+        wrefs = refs[:-3]
+
+        def W(idx):
+            return wrefs[idx][...]
+
+        xtr_ref[0] = x0_ref[0]
+
+        def replan(step_i, x):
+            # x: (1, dx) current plant state
+            ctx = (x - W(cns_idx)) * W(cnc_idx)  # normalized condition (1, dx)
+
+            def denoise(si, u):
+                # u: (rows, d_state) current normalized control sample
+                temb = tembs_ref[si][None, :]  # (1, emb)
+                parts = [temb, ctx]
+                if cfg_indicator:
+                    parts.append(jnp.ones((1, 1), jnp.float32))
+                mc = mish(jnp.concatenate(parts, axis=-1))  # (1, cond)
+                films = [
+                    jnp.dot(mc, W(wi), preferred_element_type=jnp.float32) + W(bi)
+                    for wi, bi in film_idx
+                ]  # list of (1, c_r)
+                y = body(W, films, u)
+                eps = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+                              preferred_element_type=jnp.float32) + W(b1_idx)
+                sra_t = coef_ref[si, 0]
+                srm_t = coef_ref[si, 1]
+                c1_t = coef_ref[si, 2]
+                c2_t = coef_ref[si, 3]
+                recon = sra_t * u - srm_t * eps
+                if clip_denoised:
+                    recon = jnp.clip(recon, -1.0, 1.0)
+                return c1_t * recon + c2_t * u
+
+            u0n = noise_ref[step_i]  # (rows, d_state) pre-drawn init noise
+            u_norm = jax.lax.fori_loop(0, n_total, denoise, u0n)
+            # limits unnormalize: clip to [-1, 1] then affine (the reference's
+            # saturate-at-dataset-limits semantics)
+            u_seq = jnp.clip(u_norm, -1.0, 1.0) * W(unc_idx) + W(uns_idx)  # (H, du)
+            u0 = u_seq[0]  # (du,)
+            stage = sum(q_diag[i] * x[0, i] * x[0, i] for i in range(dx)) \
+                + sum(r_diag[j] * u0[j] * u0[j] for j in range(du))
+            x_next = plant.step(x[0], u0)[None]  # (1, dx)
+            xtr_ref[step_i + 1] = x_next[0]
+            utr_ref[step_i] = u0
+            cost_ref[step_i] = jnp.reshape(stage, (1,))
+            return x_next
+
+        jax.lax.fori_loop(0, n_steps, replan, x0_ref[...])
+
+    def episode(x0: jnp.ndarray, key: jax.Array):
+        """x0: (dx,) initial plant state. Returns (x_track (n_steps+1, dx),
+        u_track (n_steps, du), stage_costs (n_steps,))."""
+        replan_keys = jax.random.split(key, n_steps)  # runtime.py:188 semantics
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (1, horizon, d_state), jnp.float32)
+        )(replan_keys).reshape(n_steps, rows, d_state)
+
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        xtr, utr, costs = pl.pallas_call(
+            kernel,
+            in_specs=[full(), full(), full(),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
+                     + [full()] * len(flat),
+            out_specs=(full(), full(), full()),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_steps + 1, dx), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, du), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
+            ),
+            interpret=interpret,
+        )(x0.reshape(1, dx).astype(jnp.float32), noise, t_embs, coefs, *flat)
+        return xtr, utr, costs[:, 0]
+
+    return episode

@@ -1,0 +1,73 @@
+"""Whole-episode fused kernel vs the per-replan closed loop (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+from mpc_via_diffusion_model_tpu.data.normalization import fit_normalizer
+from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+from mpc_via_diffusion_model_tpu.dynamics import pendulum, pendulum_cost
+from mpc_via_diffusion_model_tpu.models import TemporalUnet
+from mpc_via_diffusion_model_tpu.control import make_closed_loop
+from mpc_via_diffusion_model_tpu.ops.fused_denoise import make_fused_ddim_chain
+from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_ddim_episode
+
+
+def _setup(cfg_indicator=True):
+    plant = pendulum(dt=0.05)
+    cost = pendulum_cost()
+    horizon = 8
+    model = TemporalUnet(state_dim=1, n_support_points=horizon, unet_input_dim=8,
+                         dim_mults=(1, 2), context_dim=plant.state_dim,
+                         conditioning_type="default", cfg_indicator=cfg_indicator)
+    x = jnp.zeros((1, horizon, 1))
+    args = [x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, plant.state_dim))]
+    if cfg_indicator:
+        args.append(jnp.zeros((1, 1)))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    schedule = make_schedule("exponential", 10)
+    rng = np.random.RandomState(0)
+    in_stats = fit_normalizer(rng.randn(64, horizon, 1).astype(np.float32) * 2.0)
+    c_stats = fit_normalizer(rng.randn(64, plant.state_dim).astype(np.float32))
+    return plant, cost, horizon, model, params, schedule, in_stats, c_stats
+
+
+def test_episode_matches_per_replan_loop():
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    times = [9, 6, 3, 0]
+    n_steps = 5
+
+    chain = make_fused_ddim_chain(model, params, schedule, times, n_samples=1,
+                                  interpret=True)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, sample_override=chain)
+
+    episode = make_fused_ddim_episode(
+        model, params, schedule, times, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, interpret=True)
+
+    x0 = jnp.array([2.5, 0.0])
+    key = jax.random.PRNGKey(3)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.stage_costs),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_episode_no_cfg_indicator():
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup(
+        cfg_indicator=False)
+    times = [9, 4, 0]
+    episode = make_fused_ddim_episode(
+        model, params, schedule, times, in_stats, c_stats, plant, cost,
+        n_steps=3, interpret=True)
+    xtr, utr, costs = episode(jnp.array([1.0, -0.5]), jax.random.PRNGKey(1))
+    assert xtr.shape == (4, 2) and utr.shape == (3, 1) and costs.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(xtr)))
