@@ -76,7 +76,36 @@ def main():
 
     apply_fn = model.apply
     sample_override = None
-    mode = os.environ.get("BENCH_FUSED", "chain")
+    mode = os.environ.get("BENCH_FUSED", "episode")
+    if mode == "episode":
+        # round-2 default: the ENTIRE closed loop (80 replans x 30-step CFG
+        # chain x plant step) as ONE Pallas kernel — weights staged into VMEM
+        # once per episode (validated vs the per-replan path in
+        # tests/test_fused_episode.py).
+        from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_cfg_episode
+
+        wd = jnp.bfloat16 if os.environ.get("BENCH_BF16", "0") == "1" else jnp.float32
+        episode = jax.jit(make_fused_cfg_episode(
+            model, params, diffusion.schedule, inputs_stats, cond_stats,
+            plant, cost, n_steps=N_STEPS, w=CFG_W,
+            n_diffusion_steps_without_noise=N_TAIL, weights_dtype=wd,
+        ))
+        x0_e = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
+        key = jax.random.PRNGKey(42)
+        jax.block_until_ready(episode(x0_e, key))
+        n_rep = 10
+        t0 = time.perf_counter()
+        outs = [episode(x0_e, jax.random.fold_in(key, i)) for i in range(n_rep)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / n_rep
+        control_hz = N_STEPS / dt
+        print(json.dumps({
+            "metric": "closed_loop_control_hz",
+            "value": round(control_hz, 1),
+            "unit": "Hz",
+            "vs_baseline": round(control_hz / BASELINE_CONTROL_HZ, 2),
+        }))
+        return
     if mode == "chain":
         # round-2 default: the WHOLE 30-step CFG chain in one Pallas kernel
         # (state resident in VMEM across steps, per-step scalars baked;

@@ -49,7 +49,7 @@ from ..models.layers import mish
 from ..models.temporal_unet import TemporalUnet
 from .fused_unet import build_unet_ops
 
-__all__ = ["make_fused_ddim_episode"]
+__all__ = ["make_fused_ddim_episode", "make_fused_cfg_episode"]
 
 
 def _affine_consts(stats: NormalizerStats, dim: int):
@@ -207,6 +207,178 @@ def make_fused_ddim_episode(
         noise = jax.vmap(
             lambda k: jax.random.normal(k, (1, horizon, d_state), jnp.float32)
         )(replan_keys).reshape(n_steps, rows, d_state)
+
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        xtr, utr, costs = pl.pallas_call(
+            kernel,
+            in_specs=[full(), full(), full(),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
+                     + [full()] * len(flat),
+            out_specs=(full(), full(), full()),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_steps + 1, dx), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, du), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, 1), jnp.float32),
+            ),
+            interpret=interpret,
+        )(x0.reshape(1, dx).astype(jnp.float32), noise, t_embs, coefs, *flat)
+        return xtr, utr, costs[:, 0]
+
+    return episode
+
+
+def make_fused_cfg_episode(
+    model: TemporalUnet,
+    params,
+    schedule: DiffusionSchedule,
+    inputs_stats: NormalizerStats,
+    condition_stats: NormalizerStats,
+    plant: Plant,
+    cost: QuadraticCost,
+    n_steps: int = 80,
+    w: float = 0.01,
+    n_diffusion_steps_without_noise: int = 5,
+    weights_dtype=jnp.float32,
+    clip_denoised: bool = True,
+    interpret: bool = False,
+) -> Callable:
+    """The HEADLINE protocol as one kernel: the full CFG DDPM closed loop
+    (`bench.py` — n_steps replans x (T + tail) denoise steps x 2 CFG U-Net
+    passes fused into one doubled batch) with the replan loop in-kernel.
+    Same semantics as ``make_closed_loop(..., sample_override=
+    make_fused_cfg_chain(...))`` (tests/test_fused_episode.py)."""
+    b2 = 2  # CFG doubled batch, n_samples = 1
+    ops = build_unet_ops(model, params, b2, weights_dtype)
+    flat, body = list(ops["flat"]), ops["body"]
+    films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
+    horizon, n_res = ops["horizon"], ops["n_res"]
+    d_state = model.state_dim
+    dx = plant.state_dim
+    du = plant.control_dim
+    assert d_state == du, "episode kernel denoises control sequences"
+
+    n_tail = n_diffusion_steps_without_noise
+    n_total = schedule.n_steps + n_tail
+    steps = np.arange(schedule.n_steps - 1, -n_tail - 1, -1)
+    t_eff = np.maximum(steps, 0)
+    s = schedule
+    tab = lambda a: np.asarray(a, np.float64)
+    sra = tab(s.sqrt_recip_alphas_cumprod)[t_eff]
+    srm = tab(s.sqrt_recipm1_alphas_cumprod)[t_eff]
+    c1 = tab(s.posterior_mean_coef1)[t_eff]
+    c2 = tab(s.posterior_mean_coef2)[t_eff]
+    sig = np.exp(0.5 * tab(s.posterior_log_variance_clipped)[t_eff])
+    gate = (steps > 0).astype(np.float64)
+    coefs = jnp.asarray(
+        np.stack([sra, srm, c1, c2, sig * gate], axis=1), jnp.float32
+    )  # (n_total, 5) -> SMEM
+
+    half = 16
+    emb_scale = np.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb_scale)
+    args = t_eff[:, None] * freqs[None, :]
+    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
+    te = time_p
+    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
+    t_embs = jnp.asarray(h1 @ np.asarray(te["Dense_1"]["kernel"]) + np.asarray(te["Dense_1"]["bias"]))
+
+    film_idx = []
+    for wf_, bf_ in films_w:
+        flat.append(jnp.asarray(wf_, jnp.float32))
+        flat.append(jnp.asarray(bf_, jnp.float32))
+        film_idx.append((len(flat) - 2, len(flat) - 1))
+    w1, b1 = f1_w
+    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
+    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+
+    cfg_indicator = bool(getattr(model, "cfg_indicator", False))
+
+    cn_shift, cn_scale, _, _ = _affine_consts(condition_stats, dx)
+    _, _, un_shift, un_scale = _affine_consts(inputs_stats, du)
+    flat.append(jnp.asarray(cn_shift.reshape(1, dx))); cns_idx = len(flat) - 1
+    flat.append(jnp.asarray(cn_scale.reshape(1, dx))); cnc_idx = len(flat) - 1
+    flat.append(jnp.asarray(un_shift.reshape(1, du))); uns_idx = len(flat) - 1
+    flat.append(jnp.asarray(un_scale.reshape(1, du))); unc_idx = len(flat) - 1
+
+    q_diag = [float(v) for v in np.asarray(cost.q_diag).reshape(-1)]
+    r_diag = list(np.broadcast_to(np.asarray(cost.r, np.float64).reshape(-1), (du,)))
+
+    rows = horizon  # single-sample rows; the CFG batch doubles to 2*rows
+
+    def kernel(x0_ref, noise_ref, tembs_ref, coef_ref, *refs):
+        xtr_ref, utr_ref, cost_ref = refs[-3:]
+        wrefs = refs[:-3]
+
+        def W(idx):
+            return wrefs[idx][...]
+
+        xtr_ref[0] = x0_ref[0]
+
+        def replan(step_i, x):
+            ctx = (x - W(cns_idx)) * W(cnc_idx)  # (1, dx)
+            # CFG doubled conditioning rows: [present ctx; dropped (zeros)]
+            ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)  # (2, dx)
+
+            def denoise(si, u):
+                # u: (rows, d_state)
+                temb = tembs_ref[si][None, :]
+                parts = [jnp.concatenate([temb, temb], axis=0), ctx2]
+                if cfg_indicator:
+                    ind = jnp.concatenate(
+                        [jnp.ones((1, 1), jnp.float32), jnp.zeros((1, 1), jnp.float32)],
+                        axis=0)
+                    parts.append(ind)
+                mc = mish(jnp.concatenate(parts, axis=-1))  # (2, cond)
+                films = [
+                    jnp.dot(mc, W(wi), preferred_element_type=jnp.float32) + W(bi)
+                    for wi, bi in film_idx
+                ]  # list of (2, c_r)
+                x2 = jnp.concatenate([u, u], axis=0)  # (2*rows, d)
+                y = body(W, films, x2)
+                eps2 = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+                               preferred_element_type=jnp.float32) + W(b1_idx)
+                sra_t = coef_ref[si, 0]
+                srm_t = coef_ref[si, 1]
+                c1_t = coef_ref[si, 2]
+                c2_t = coef_ref[si, 3]
+                sg_t = coef_ref[si, 4]
+                recon2 = sra_t * x2 - srm_t * eps2
+                recon = (1.0 + w) * recon2[:rows] - w * recon2[rows:]
+                if clip_denoised:
+                    recon = jnp.clip(recon, -1.0, 1.0)
+                mean = c1_t * recon + c2_t * u
+                nz = noise_ref[step_i * (n_total + 1) + si]  # (rows, d)
+                return mean + sg_t * nz
+
+            u0n = noise_ref[step_i * (n_total + 1) + n_total]  # x_T draw
+            u_norm = jax.lax.fori_loop(0, n_total, denoise, u0n)
+            u_seq = jnp.clip(u_norm, -1.0, 1.0) * W(unc_idx) + W(uns_idx)
+            u0 = u_seq[0]
+            stage = sum(q_diag[i] * x[0, i] * x[0, i] for i in range(dx)) \
+                + sum(r_diag[j] * u0[j] * u0[j] for j in range(du))
+            x_next = plant.step(x[0], u0)[None]
+            xtr_ref[step_i + 1] = x_next[0]
+            utr_ref[step_i] = u0
+            cost_ref[step_i] = jnp.reshape(stage, (1,))
+            return x_next
+
+        jax.lax.fori_loop(0, n_steps, replan, x0_ref[...])
+
+    def episode(x0: jnp.ndarray, key: jax.Array):
+        """x0: (dx,). Returns (x_track, u_track, stage_costs) for the full
+        CFG DDPM closed loop."""
+        replan_keys = jax.random.split(key, n_steps)
+
+        def draw(k):
+            # ddpm_cfg_sample noise layout (fused_denoise.py:162-165):
+            # one normal() of (n_total+1, 1, H, d); [0] is x_T, [1:] injected;
+            # reordered so rows [0:n_total) are the injected draws and row
+            # n_total is x_T.
+            nz = jax.random.normal(k, (n_total + 1, 1, horizon, d_state), jnp.float32)
+            return jnp.concatenate([nz[1:], nz[:1]], axis=0)
+
+        noise = jax.vmap(draw)(replan_keys).reshape(
+            n_steps * (n_total + 1), rows, d_state)
 
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         xtr, utr, costs = pl.pallas_call(

@@ -9,8 +9,10 @@ from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
 from mpc_via_diffusion_model_tpu.dynamics import pendulum, pendulum_cost
 from mpc_via_diffusion_model_tpu.models import TemporalUnet
 from mpc_via_diffusion_model_tpu.control import make_closed_loop
-from mpc_via_diffusion_model_tpu.ops.fused_denoise import make_fused_ddim_chain
-from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_ddim_episode
+from mpc_via_diffusion_model_tpu.ops.fused_denoise import (
+    make_fused_cfg_chain, make_fused_ddim_chain)
+from mpc_via_diffusion_model_tpu.ops.fused_episode import (
+    make_fused_cfg_episode, make_fused_ddim_episode)
 
 
 def _setup(cfg_indicator=True):
@@ -50,6 +52,38 @@ def test_episode_matches_per_replan_loop():
 
     x0 = jnp.array([2.5, 0.0])
     key = jax.random.PRNGKey(3)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.stage_costs),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cfg_episode_matches_per_replan_loop():
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    n_steps = 4
+    w, n_tail = 0.01, 2
+
+    chain = make_fused_cfg_chain(model, params, schedule, n_samples=1, w=w,
+                                 n_diffusion_steps_without_noise=n_tail,
+                                 interpret=True)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, w=w,
+        n_diffusion_steps_without_noise=n_tail, sample_override=chain)
+
+    episode = make_fused_cfg_episode(
+        model, params, schedule, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, w=w, n_diffusion_steps_without_noise=n_tail,
+        interpret=True)
+
+    x0 = jnp.array([1.5, -0.3])
+    key = jax.random.PRNGKey(11)
     ref = loop(params, x0, key)
     xtr, utr, costs = episode(x0, key)
 
