@@ -278,9 +278,14 @@ def panda_inverse_dynamics(
         return (omega, omegad, vd), (r_i, p_i, f_i, n_i)
 
     carry0 = (jnp.zeros(3), jnp.zeros(3), jnp.array([0.0, 0.0, 1.0]) * gravity)
+    # unroll=7: the scan keeps the TRACE one-link-sized for fast jit, while
+    # the generated code has no runtime loop — deeply nested device loops
+    # (this scan inside jacfwd inside the iLQR while_loop inside the
+    # collection scan) crashed the TPU runtime worker.
     _, (rs, ps, F, N) = jax.lax.scan(
         outward, carry0,
         (q, qd, qdd, dh[0], dh[1], dh[2], dh[3], coms, inertias, masses),
+        unroll=7,
     )
 
     # child-frame transforms seen from link i: (rs[i+1], ps[i+1]); the last
@@ -300,7 +305,7 @@ def panda_inverse_dynamics(
 
     _, taus = jax.lax.scan(
         inward, (jnp.zeros(3), jnp.zeros(3)),
-        (r_child, p_child, F, N, coms), reverse=True,
+        (r_child, p_child, F, N, coms), reverse=True, unroll=7,
     )
     return taus
 

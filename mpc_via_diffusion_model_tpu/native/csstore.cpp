@@ -240,31 +240,57 @@ int css_concat(const char** paths, int32_t n_paths, const char* out_path) {
     out_meta[t] = m;
   }
 
-  // materialize: single buffer per tensor streamed from the mmaps
-  std::vector<std::vector<uint8_t>> bufs(nt);
-  std::vector<const char*> names(nt);
-  std::vector<uint32_t> dtypes(nt);
-  std::vector<int32_t> ndims(nt);
-  std::vector<int64_t> dims_flat;
-  std::vector<const void*> data(nt);
+  // Stream shard blobs straight from the source mmaps to the output file in
+  // bounded chunks — peak RAM is one chunk, not the whole concatenated
+  // dataset (matters once shards total tens of GB; the OS prefetches the
+  // sequential mmap reads).
+  size_t header = 8;
   for (int32_t t = 0; t < nt; ++t) {
-    bufs[t].resize(out_meta[t].nbytes);
-    uint8_t* dst = bufs[t].data();
-    for (void* hv : stores) {
-      Store* s = static_cast<Store*>(hv);
-      memcpy(dst, css_data(hv, t), s->tensors[t].nbytes);
-      dst += s->tensors[t].nbytes;
-    }
-    names[t] = out_meta[t].name.c_str();
-    dtypes[t] = out_meta[t].dtype;
-    ndims[t] = out_meta[t].dims.size();
-    for (int64_t d : out_meta[t].dims) dims_flat.push_back(d);
-    data[t] = bufs[t].data();
+    header += 4 + out_meta[t].name.size() + 4 + 4 +
+              8ull * out_meta[t].dims.size() + 8 + 8;
   }
-  int rc = css_write(out_path, nt, names.data(), dtypes.data(), ndims.data(),
-                     dims_flat.data(), data.data());
+  size_t off = align_up(header);
+  for (auto& m : out_meta) {
+    m.offset = off;
+    off = align_up(off + m.nbytes);
+  }
+
+  FILE* f = fopen(out_path, "wb");
+  if (!f) {
+    for (void* s : stores) css_close(s);
+    return -4;
+  }
+  bool ok = write_all(f, &kMagic, 4);
+  uint32_t n32 = static_cast<uint32_t>(nt);
+  ok = ok && write_all(f, &n32, 4);
+  for (auto& m : out_meta) {
+    uint32_t nl = static_cast<uint32_t>(m.name.size());
+    uint32_t nd = static_cast<uint32_t>(m.dims.size());
+    ok = ok && write_all(f, &nl, 4) && write_all(f, m.name.data(), nl) &&
+         write_all(f, &m.dtype, 4) && write_all(f, &nd, 4) &&
+         write_all(f, m.dims.data(), 8ull * nd) &&
+         write_all(f, &m.offset, 8) && write_all(f, &m.nbytes, 8);
+  }
+
+  constexpr size_t kChunk = 8ull << 20;  // 8 MiB copy window
+  for (int32_t t = 0; t < nt && ok; ++t) {
+    ok = fseek(f, static_cast<long>(out_meta[t].offset), SEEK_SET) == 0;
+    for (void* hv : stores) {
+      if (!ok) break;
+      Store* s = static_cast<Store*>(hv);
+      const uint8_t* src = static_cast<const uint8_t*>(css_data(hv, t));
+      uint64_t left = s->tensors[t].nbytes;
+      while (ok && left > 0) {
+        size_t n = left < kChunk ? static_cast<size_t>(left) : kChunk;
+        ok = write_all(f, src, n);
+        src += n;
+        left -= n;
+      }
+    }
+  }
+  fclose(f);
   for (void* s : stores) css_close(s);
-  return rc;
+  return ok ? 0 : -5;
 }
 
 }  // extern "C"

@@ -187,6 +187,27 @@ def main():
             float(jnp.sum(costs)) / report["expert_cost"], 4)
     print(json.dumps(row), flush=True)
 
+    # serving throughput: a fleet of independent distilled episodes vmapped
+    # over starts (the Pallas episode kernel lifts to a grid axis under
+    # vmap) — the aggregate control-steps/s a single chip serves when many
+    # control loops run concurrently
+    n_fleet = 64
+    fleet = jax.jit(jax.vmap(episode))
+    rngf = np.random.RandomState(5)
+    x0f = np.tile(np.asarray(x0)[None], (n_fleet, 1))
+    x0f[:, 0] += rngf.uniform(-0.5, 0.5, n_fleet)
+    x0f = jnp.asarray(x0f, jnp.float32)
+    keysf = jax.random.split(jax.random.PRNGKey(17), n_fleet)
+    jax.block_until_ready(fleet(x0f, keysf))
+    reps = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fleet(x0f, jax.random.split(jax.random.PRNGKey(r), n_fleet)))
+        reps.append(time.perf_counter() - t0)
+    print(json.dumps({"metric": f"serving_{n_fleet}loops_control_steps_per_sec",
+                      "value": round(n_fleet * n_steps / min(reps), 0),
+                      "unit": "steps/s"}), flush=True)
+
     # sustained rate: one long receding-horizon run per dispatch (800 steps)
     ep800 = jax.jit(make_fused_ddim_episode(
         dmodel, dparams, dsch, times, d_in_stats, d_c_stats, plant, dcost,

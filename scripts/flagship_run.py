@@ -34,6 +34,9 @@ def main():
     p.add_argument("--chunk", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--reuse", action="store_true",
+                   help="load dataset.npz + checkpoints/final.ckpt from --out "
+                        "instead of re-collecting/re-training (eval iteration)")
     args = p.parse_args()
 
     import jax
@@ -116,17 +119,51 @@ def main():
             np.zeros((n_grid, 7), np.float32),
         ], axis=1)
         kicks = (2.0, -2.0)
-    ds = collect_closed_loop_dataset(
-        plant, cost, grid, horizon=args.horizon, n_control_steps=args.steps,
-        solver_iterations=25, u_kick_scales=kicks,
-        noise_std=0.15, n_noisy=args.noisy, key=jax.random.PRNGKey(0),
-        state_to_condition=to_cond,
-    )
+    ds_path = os.path.join(args.out, "dataset.npz")
+    ckpt_path = os.path.join(args.out, "checkpoints", "final.ckpt")
+    reuse = args.reuse and os.path.exists(ds_path)
+    reuse_ckpt = reuse and os.path.exists(ckpt_path)
+    if reuse:
+        from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+        ds = ControlSequenceDataset.load(ds_path)
+        t_collect = 0.0
+        print(f"[collect] reused {ds.n_init} samples from {ds_path}", flush=True)
+    elif args.plant == "panda_rbd":
+        # the articulated plant is ~20x the surrogate's per-solve cost;
+        # one whole-grid dispatch runs tens of minutes and trips the device
+        # worker, so collect in per-chunk dispatches and merge
+        from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+
+        chunk_n = 4
+        us_l, xs_l = [], []
+        for ci in range(0, len(grid), chunk_n):
+            u_c, x_c, _ = collect_closed_loop_dataset(
+                plant, cost, grid[ci:ci + chunk_n], horizon=args.horizon,
+                n_control_steps=args.steps, solver_iterations=25,
+                u_kick_scales=kicks, noise_std=0.15, n_noisy=args.noisy,
+                key=jax.random.PRNGKey(ci), state_to_condition=to_cond,
+                return_arrays=True,
+            )
+            us_l.append(u_c); xs_l.append(x_c)
+            print(f"[collect] chunk {ci // chunk_n + 1}/"
+                  f"{(len(grid) + chunk_n - 1) // chunk_n} "
+                  f"({sum(len(u) for u in us_l)} samples, "
+                  f"{time.time() - t0:.0f}s)", flush=True)
+        ds = ControlSequenceDataset.from_arrays(
+            np.concatenate(us_l), np.concatenate(xs_l))
+    else:
+        ds = collect_closed_loop_dataset(
+            plant, cost, grid, horizon=args.horizon, n_control_steps=args.steps,
+            solver_iterations=25, u_kick_scales=kicks,
+            noise_std=0.15, n_noisy=args.noisy, key=jax.random.PRNGKey(0),
+            state_to_condition=to_cond,
+        )
     t_collect = time.time() - t0
     n_solves = ds.n_init
-    print(f"[collect] {ds.n_init} samples in {t_collect:.1f}s "
-          f"({n_solves / t_collect:.0f} iLQR solves/s)", flush=True)
-    ds.save(os.path.join(args.out, "dataset.npz"))
+    if not reuse:
+        print(f"[collect] {ds.n_init} samples in {t_collect:.1f}s "
+              f"({n_solves / t_collect:.0f} iLQR solves/s)", flush=True)
+        ds.save(ds_path)
 
     # ---------------- 2) train (scanned chunks) ----------------
     model = TemporalUnet(
@@ -143,29 +180,35 @@ def main():
     chunk_fn = make_scanned_train_steps(train_step, args.chunk)
     chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
 
-    state = TrainState(
-        params=params,
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
-        opt_state=optimizer.init(params),
-        step=jnp.int32(0),
-    )
-    key = jax.random.PRNGKey(2)
-    t0 = time.time()
-    losses = []
-    n_chunks = args.train_steps // args.chunk
-    for c in range(n_chunks):
-        key, k = jax.random.split(key)
-        state, loss = chunk_jit(state, ds.inputs_normalized, ds.condition_normalized, k)
-        losses.append(float(loss))
-        if (c + 1) % max(1, n_chunks // 10) == 0:
-            rate = (c + 1) * args.chunk / (time.time() - t0)
-            print(f"[train] step {(c + 1) * args.chunk}/{args.train_steps} "
-                  f"loss {losses[-1]:.5f} ({rate:.0f} steps/s)", flush=True)
-    t_train = time.time() - t0
-    print(f"[train] done in {t_train:.1f}s; loss {losses[0]:.4f} -> {losses[-1]:.5f}", flush=True)
-    save_checkpoint(os.path.join(args.out, "checkpoints", "final.ckpt"), state,
-                    extra={"losses": losses})
-    np.save(os.path.join(args.out, "train_losses.npy"), np.asarray(losses))
+    if reuse_ckpt:
+        from mpc_via_diffusion_model_tpu.train import load_checkpoint
+        state, extra = load_checkpoint(ckpt_path)
+        losses = list(extra.get("losses", [float("nan")])) or [float("nan")]
+        t_train = 0.0
+        print(f"[train] reused checkpoint {ckpt_path}", flush=True)
+    else:
+        state = TrainState(
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=optimizer.init(params),
+            step=jnp.int32(0),
+        )
+        key = jax.random.PRNGKey(2)
+        t0 = time.time()
+        losses = []
+        n_chunks = args.train_steps // args.chunk
+        for c in range(n_chunks):
+            key, k = jax.random.split(key)
+            state, loss = chunk_jit(state, ds.inputs_normalized, ds.condition_normalized, k)
+            losses.append(float(loss))
+            if (c + 1) % max(1, n_chunks // 10) == 0:
+                rate = (c + 1) * args.chunk / (time.time() - t0)
+                print(f"[train] step {(c + 1) * args.chunk}/{args.train_steps} "
+                      f"loss {losses[-1]:.5f} ({rate:.0f} steps/s)", flush=True)
+        t_train = time.time() - t0
+        print(f"[train] done in {t_train:.1f}s; loss {losses[0]:.4f} -> {losses[-1]:.5f}", flush=True)
+        save_checkpoint(ckpt_path, state, extra={"losses": losses})
+        np.save(os.path.join(args.out, "train_losses.npy"), np.asarray(losses))
 
     # ---------------- 3) closed-loop evaluation ----------------
     loop = jax.jit(make_closed_loop(
@@ -198,11 +241,16 @@ def main():
     cross_check = None
     if args.plant == "panda_rbd":
         from mpc_via_diffusion_model_tpu.solvers.mppi import MPPIConfig, mppi_solve
-        mcfg = MPPIConfig(horizon=args.horizon, n_samples=512, n_iterations=10,
+        # MPPI plans over a SHORTER horizon than the iLQR expert (32 vs 128):
+        # full-horizon sampling rollouts of the articulated plant are one
+        # ~30-min dispatch, which the device worker kills; a 32-step MPPI is
+        # still a valid independent controller for anchoring the closed-loop
+        # cost (both run the same 80-step receding-horizon protocol).
+        mcfg = MPPIConfig(horizon=32, n_samples=256, n_iterations=6,
                           noise_sigma=1.0, temperature=0.5)
 
         def mppi_loop(x0m, k):
-            u_ws = jnp.zeros((args.horizon, plant.control_dim))
+            u_ws = jnp.zeros((mcfg.horizon, plant.control_dim))
 
             def body(carry, kk):
                 xm, ws = carry
