@@ -208,6 +208,33 @@ def main():
                       "value": round(n_fleet * n_steps / min(reps), 0),
                       "unit": "steps/s"}), flush=True)
 
+    # production CFG flagship: the REAL trained horizon-64 model through the
+    # whole-episode CFG kernel with bf16 weights (2x64 = 128 stacked rows is
+    # MXU-throughput-bound, where bf16 measures 2.97x over fp32 at identical
+    # closed-loop cost — BENCH.md "bf16 weights")
+    if real_weights and os.path.exists(os.path.join(teacher_art, "ema_params.pkl")):
+        from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_cfg_episode
+
+        with open(os.path.join(teacher_art, "ema_params.pkl"), "rb") as f:
+            tparams = pickle.load(f)
+        cfg_ep = jax.jit(make_fused_cfg_episode(
+            dmodel, tparams, dsch, d_in_stats, d_c_stats, plant, dcost,
+            n_steps=n_steps, w=0.01, n_diffusion_steps_without_noise=5,
+            weights_dtype=jnp.bfloat16))
+        jax.block_until_ready(cfg_ep(x0, key))
+        dts = []
+        for b in range(3):
+            t0 = time.perf_counter()
+            outs = [cfg_ep(x0, jax.random.fold_in(key, 50 * b + i)) for i in range(8)]
+            jax.block_until_ready(outs)
+            dts.append((time.perf_counter() - t0) / 8)
+        _, _, ccosts = cfg_ep(x0, key)
+        print(json.dumps({
+            "metric": "production_cfg30_flagship_bf16_hz",
+            "value": round(n_steps / min(dts), 1), "unit": "Hz",
+            "cost_ratio_vs_expert": round(float(jnp.sum(ccosts)) / report["expert_cost"], 4),
+        }), flush=True)
+
     # sustained rate: one long receding-horizon run per dispatch (800 steps)
     ep800 = jax.jit(make_fused_ddim_episode(
         dmodel, dparams, dsch, times, d_in_stats, d_c_stats, plant, dcost,

@@ -95,6 +95,27 @@ def test_cfg_episode_matches_per_replan_loop():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_episode_bf16_weights_close_to_fp32():
+    """bf16 VMEM weights (the production choice for >=128-row configs) keep
+    the episode trajectory close to fp32 — same structure, bf16-level
+    tolerance."""
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    times = [9, 4, 0]
+    kw = dict(n_steps=4, interpret=True)
+    ep32 = make_fused_ddim_episode(model, params, schedule, times, in_stats,
+                                   c_stats, plant, cost, **kw)
+    ep16 = make_fused_ddim_episode(model, params, schedule, times, in_stats,
+                                   c_stats, plant, cost,
+                                   weights_dtype=jnp.bfloat16, **kw)
+    x0 = jnp.array([2.0, 0.1])
+    key = jax.random.PRNGKey(5)
+    x32, u32, _ = ep32(x0, key)
+    x16, u16, _ = ep16(x0, key)
+    assert np.all(np.isfinite(np.asarray(x16)))
+    np.testing.assert_allclose(np.asarray(u16), np.asarray(u32), atol=0.15)
+    np.testing.assert_allclose(np.asarray(x16), np.asarray(x32), atol=0.3)
+
+
 def test_episode_no_cfg_indicator():
     plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup(
         cfg_indicator=False)
