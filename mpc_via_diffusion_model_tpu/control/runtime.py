@@ -91,6 +91,10 @@ def make_replan_fn(
     """
     if n_candidates > 1:
         assert plant is not None and cost is not None, "candidate selection needs plant+cost"
+    if guide_builder is not None and sample_override is not None:
+        raise ValueError(
+            "guide_builder cannot compose with sample_override — the override "
+            "replaces the sampler (guidance must be baked into it)")
     to_cond = state_to_condition or (lambda x: x)
 
     def replan(params, x0, key):
@@ -116,6 +120,8 @@ def make_replan_fn(
             # `diffusion_model_base.py:239-314`). w is honored via true
             # CFG-DDIM (doubled-batch x0-recon combination inside
             # ddim_sample); w=0 is the reference's unguided conditional pass.
+            # Cost-gradient guidance composes here exactly as in the ddpm
+            # branch (ddim_sample takes the same guide hooks).
             u_norm = diffusion.ddim_sample(
                 lambda x, t, c, m: apply_fn(
                     params, x, t, c,
@@ -125,6 +131,9 @@ def make_replan_fn(
                 key,
                 context=ctx,
                 w=w,
+                guide=guide_builder(x0) if guide_builder is not None else None,
+                n_guide_steps=n_guide_steps,
+                t_start_guide=t_start_guide,
             )
         else:
             raise ValueError(f"unknown sampler '{sampler}'")

@@ -174,12 +174,18 @@ def specified_split(
         n_train = int((1 - val_fraction) * len(idx))
         return idx[:n_train], idx[n_train:]
 
+    # Materialize first: callers may pass one-shot iterators, and the length
+    # guards below must not consume what split() re-reads.
+    normal_pos_range = list(normal_pos_range)
+    normal_neg_range = list(normal_neg_range)
+    noisy_pos_range = list(noisy_pos_range)
+    noisy_neg_range = list(noisy_neg_range)
     # The pairwise interleave below would silently truncate to the shorter
     # range; the reference guarantees equal lengths by construction — fail
     # loudly instead of shrinking the dataset.
-    if len(list(normal_pos_range)) != len(list(normal_neg_range)):
+    if len(normal_pos_range) != len(normal_neg_range):
         raise ValueError("specified_split: normal pos/neg ranges must have equal length")
-    if len(list(noisy_pos_range)) != len(list(noisy_neg_range)):
+    if len(noisy_pos_range) != len(noisy_neg_range):
         raise ValueError("specified_split: noisy pos/neg ranges must have equal length")
 
     tr_np, va_np = split(normal_pos_range)

@@ -35,6 +35,7 @@ __all__ = [
     "ddim_time_grid",
     "halve_times",
     "ddim_affine_coefs",
+    "distill_pair_tables",
     "make_distill_step",
     "make_student_ddim_sampler",
 ]
@@ -102,6 +103,57 @@ def ddim_affine_coefs(schedule: DiffusionSchedule, times: Sequence[int]):
     }
 
 
+def distill_pair_tables(schedule: DiffusionSchedule, teacher_times: Sequence[int]):
+    """Per-student-pair coefficient tables for progressive distillation.
+
+    Teacher sub-steps for student pair j: (ts[j] -> mid_j -> lo_j), where
+    ts = halve_times(teacher_times), lo is ts[j+1], or -1 (the final recon)
+    for the last pair. Whether the LAST pair has a teacher mid depends on
+    the teacher grid's parity: odd length (e.g. [24..0], ts ends at 0) ->
+    the final student step IS the teacher's single (0 -> -1) recon, second
+    sub-step is the identity; even length (e.g. [23..0], ts ends at 1) ->
+    the teacher still has an eval at tt[2j+1] = 0, so the target is the
+    genuine two-step (1 -> 0 -> -1) chain — dropping it would distill the
+    last pair against a single teacher eval and lose the lowest-timestep
+    refinement (tests/test_distillation.py::test_pair_tables_grid_parity).
+    """
+    ts = halve_times(teacher_times)
+    n_pairs = len(ts)
+    tt = list(teacher_times)
+    assert tt[::2] == ts, "teacher grid must refine the student grid"
+
+    stu = ddim_affine_coefs(schedule, ts)
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    mids, a_c1, a_c2, b_c1, b_c2, a_sra, a_srm, b_sra, b_srm = ([] for _ in range(9))
+    for j in range(n_pairs):
+        t_hi = ts[j]
+        lo = ts[j + 1] if j < n_pairs - 1 else -1
+        if 2 * j + 1 < len(tt):
+            mid = tt[2 * j + 1]
+            a = _pair_coefs(schedule, t_hi, mid)
+            b = _pair_coefs(schedule, mid, lo)
+        else:
+            mid = 0
+            a = _pair_coefs(schedule, t_hi, -1)
+            b = (0.0, 1.0)
+        mids.append(mid)
+        a_c1.append(a[0]); a_c2.append(a[1]); b_c1.append(b[0]); b_c2.append(b[1])
+        a_sra.append(float(np.sqrt(1.0 / abar[t_hi])))
+        a_srm.append(float(np.sqrt(1.0 / abar[t_hi] - 1.0)))
+        b_sra.append(float(np.sqrt(1.0 / abar[mid])))
+        b_srm.append(float(np.sqrt(max(1.0 / abar[mid] - 1.0, 1e-20))))
+
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return {
+        "t_hi": jnp.asarray(ts, jnp.int32), "mid": jnp.asarray(mids, jnp.int32),
+        "a_c1": f32(a_c1), "a_c2": f32(a_c2), "b_c1": f32(b_c1), "b_c2": f32(b_c2),
+        "a_sra": f32(a_sra), "a_srm": f32(a_srm),
+        "b_sra": f32(b_sra), "b_srm": f32(b_srm),
+        "s_c1": f32(stu["c1"]), "s_c2": f32(stu["c2"]),
+        "snr_w": f32(np.maximum(abar[np.asarray(ts)] / (1.0 - abar[np.asarray(ts)] + 1e-12), 1.0)),
+    }
+
+
 def make_distill_step(
     schedule: DiffusionSchedule,
     apply_fn: Callable,
@@ -133,42 +185,8 @@ def make_distill_step(
     student_times = halve_times(teacher_times)
     ts = list(student_times)
     n_pairs = len(ts)
-    tt = list(teacher_times)
-    assert tt[::2] == ts, "teacher grid must refine the student grid"
-
-    stu = ddim_affine_coefs(schedule, ts)
-    # teacher sub-steps for student pair j: (ts[j] -> mid_j -> ts[j+1]).
-    # Final pair (0 -> -1): first sub-step IS (0,-1) (C1=1,C2=0), second is
-    # the identity (C1=0,C2=1) whose evaluation result is unused.
+    T = distill_pair_tables(schedule, teacher_times)
     abar = np.asarray(schedule.alphas_cumprod, np.float64)
-    mids, a_c1, a_c2, b_c1, b_c2, a_sra, a_srm, b_sra, b_srm = ([] for _ in range(9))
-    for j in range(n_pairs):
-        t_hi = ts[j]
-        if j < n_pairs - 1:
-            mid = tt[2 * j + 1]
-            lo = ts[j + 1]
-            a = _pair_coefs(schedule, t_hi, mid)
-            b = _pair_coefs(schedule, mid, lo)
-        else:
-            mid = 0
-            a = _pair_coefs(schedule, t_hi, -1)
-            b = (0.0, 1.0)
-        mids.append(mid)
-        a_c1.append(a[0]); a_c2.append(a[1]); b_c1.append(b[0]); b_c2.append(b[1])
-        a_sra.append(float(np.sqrt(1.0 / abar[t_hi])))
-        a_srm.append(float(np.sqrt(1.0 / abar[t_hi] - 1.0)))
-        b_sra.append(float(np.sqrt(1.0 / abar[mid])))
-        b_srm.append(float(np.sqrt(max(1.0 / abar[mid] - 1.0, 1e-20))))
-
-    f32 = lambda v: jnp.asarray(v, jnp.float32)
-    T = {
-        "t_hi": jnp.asarray(ts, jnp.int32), "mid": jnp.asarray(mids, jnp.int32),
-        "a_c1": f32(a_c1), "a_c2": f32(a_c2), "b_c1": f32(b_c1), "b_c2": f32(b_c2),
-        "a_sra": f32(a_sra), "a_srm": f32(a_srm),
-        "b_sra": f32(b_sra), "b_srm": f32(b_srm),
-        "s_c1": f32(stu["c1"]), "s_c2": f32(stu["c2"]),
-        "snr_w": f32(np.maximum(abar[np.asarray(ts)] / (1.0 - abar[np.asarray(ts)] + 1e-12), 1.0)),
-    }
     sqrt_ab = jnp.asarray(np.sqrt(abar), jnp.float32)
     sqrt_1mab = jnp.asarray(np.sqrt(1.0 - abar), jnp.float32)
 

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.schedules import DiffusionSchedule
 from ..models.layers import mish
 from ..models.temporal_unet import TemporalUnet
-from .fused_unet import build_unet_ops
+from .fused_unet import (append_final_1x1, build_unet_ops,
+                         stack_film_weights, time_embedding_table)
 
 __all__ = ["make_fused_cfg_chain", "make_fused_ddim_chain"]
 
@@ -85,25 +86,8 @@ def make_fused_cfg_chain(
     )  # (n_total, 5)
 
     # precompute the time embeddings of every step ONCE at build time
-    half = 16
-    emb_scale = np.log(10000.0) / (half - 1)
-    freqs = np.exp(np.arange(half) * -emb_scale)
-    args = t_eff[:, None] * freqs[None, :]
-    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
-    te = time_p
-    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
-    t_embs = jnp.asarray(h1) @ te["Dense_1"]["kernel"] + te["Dense_1"]["bias"]  # (n_total, emb)
-
-    # FiLM dense weights stacked (n_res, cond_dim, max_c) with zero-padding
-    wf_stack = jnp.stack([
-        jnp.pad(wf_, ((0, 0), (0, max_c - wf_.shape[1]))) for wf_, _ in films_w
-    ])
-    bf_stack = jnp.stack([
-        jnp.pad(bf_, (0, max_c - bf_.shape[0])) for _, bf_ in films_w
-    ])
-
-    w1 = f1_w[0]  # (unet_dim, d_state)
-    b1 = f1_w[1]
+    t_embs = time_embedding_table(time_p, t_eff)
+    wf_stack, bf_stack = stack_film_weights(films_w, max_c)
 
     def kernel(films_ref, noise_ref, coef_ref, *refs):
         out_ref = refs[-1]
@@ -119,7 +103,7 @@ def make_fused_cfg_chain(
             films = films_ref[si]  # (n_res, 2B, max_c)
             x2 = jnp.concatenate([x, x], axis=0)  # (2*rows, d)
             y = body(W, films, x2)  # (2*rows, unet_dim)
-            eps2 = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+            eps2 = jnp.dot(y.astype(weights_dtype), W(w1_idx),
                            preferred_element_type=jnp.float32) + W(b1_idx)
             # per-step scalars: SMEM loads must be scalar-at-a-time
             sra_t = coef_ref[si, 0]
@@ -141,8 +125,7 @@ def make_fused_cfg_chain(
 
     # append the final-1x1 weights to the flat list
     flat = list(flat)
-    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
-    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+    w1_idx, b1_idx = append_final_1x1(flat, f1_w, weights_dtype)
 
     def sample(context: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         """context: (n_samples, cond_dim) normalized conditioning."""
@@ -212,22 +195,8 @@ def make_fused_ddim_chain(
     )  # (n_total, 4)
 
     # time embeddings of the grid steps, precomputed at build time
-    half = 16
-    emb_scale = np.log(10000.0) / (half - 1)
-    freqs = np.exp(np.arange(half) * -emb_scale)
-    args = np.asarray(C["t"], np.float64)[:, None] * freqs[None, :]
-    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
-    te = time_p
-    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
-    t_embs = jnp.asarray(h1) @ te["Dense_1"]["kernel"] + te["Dense_1"]["bias"]
-
-    wf_stack = jnp.stack([
-        jnp.pad(wf_, ((0, 0), (0, max_c - wf_.shape[1]))) for wf_, _ in films_w
-    ])
-    bf_stack = jnp.stack([
-        jnp.pad(bf_, (0, max_c - bf_.shape[0])) for _, bf_ in films_w
-    ])
-    w1, b1 = f1_w
+    t_embs = time_embedding_table(time_p, C["t"])
+    wf_stack, bf_stack = stack_film_weights(films_w, max_c)
 
     def kernel(films_ref, noise_ref, coef_ref, *refs):
         out_ref = refs[-1]
@@ -241,7 +210,7 @@ def make_fused_ddim_chain(
         def step_body(si, x):
             films = films_ref[si]  # (n_res, B, max_c)
             y = body(W, films, x)
-            eps = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+            eps = jnp.dot(y.astype(weights_dtype), W(w1_idx),
                           preferred_element_type=jnp.float32) + W(b1_idx)
             sra_t = coef_ref[si, 0]
             srm_t = coef_ref[si, 1]
@@ -256,8 +225,7 @@ def make_fused_ddim_chain(
         out_ref[...] = x.reshape(n_samples, horizon, d_state)
 
     flat = list(flat)
-    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
-    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+    w1_idx, b1_idx = append_final_1x1(flat, f1_w, weights_dtype)
 
     def sample(context: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         """context: (n_samples, cond_dim) normalized conditioning."""

@@ -47,7 +47,8 @@ from ..data.normalization import NormalizerStats
 from ..dynamics.base import Plant, QuadraticCost
 from ..models.layers import mish
 from ..models.temporal_unet import TemporalUnet
-from .fused_unet import build_unet_ops
+from .fused_unet import (append_film_weights, append_final_1x1,
+                         build_unet_ops, time_embedding_table)
 
 __all__ = ["make_fused_ddim_episode", "make_fused_cfg_episode"]
 
@@ -94,7 +95,10 @@ def make_fused_ddim_episode(
     """
     from ..diffusion.distillation import ddim_affine_coefs
 
-    assert not getattr(model, "predict_epsilon", True) is False
+    # NOTE: like all the fused chain/episode kernels, this hardcodes the
+    # EPSILON-prediction recon algebra (recon = sra x - srm eps) — the
+    # GaussianDiffusion default. x0-predicting models (predict_epsilon=False)
+    # must use the XLA samplers.
     ops = build_unet_ops(model, params, 1, weights_dtype)
     flat, body = list(ops["flat"]), ops["body"]
     films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
@@ -110,26 +114,12 @@ def make_fused_ddim_episode(
         np.stack([C["sra"], C["srm"], C["c1"], C["c2"]], axis=1), jnp.float32
     )  # (n_total, 4) -> SMEM
 
-    # time embeddings of the grid steps (n_total, emb), VMEM table
-    half = 16
-    emb_scale = np.log(10000.0) / (half - 1)
-    freqs = np.exp(np.arange(half) * -emb_scale)
-    args = np.asarray(C["t"], np.float64)[:, None] * freqs[None, :]
-    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
-    te = time_p
-    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
-    t_embs = jnp.asarray(h1 @ np.asarray(te["Dense_1"]["kernel"]) + np.asarray(te["Dense_1"]["bias"]))
-
-    # FiLM dense weights appended to the flat weight list (unpadded — the
-    # in-kernel films are a python list indexed statically by body())
-    film_idx = []
-    for wf_, bf_ in films_w:
-        flat.append(jnp.asarray(wf_, jnp.float32))
-        flat.append(jnp.asarray(bf_, jnp.float32))
-        film_idx.append((len(flat) - 2, len(flat) - 1))
-    w1, b1 = f1_w
-    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
-    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+    # time embeddings of the grid steps (n_total, emb), VMEM table; FiLM
+    # dense weights appended unpadded (in-kernel films are a python list
+    # indexed statically by body())
+    t_embs = time_embedding_table(time_p, C["t"])
+    film_idx = append_film_weights(flat, films_w)
+    w1_idx, b1_idx = append_final_1x1(flat, f1_w, weights_dtype)
 
     cfg_indicator = bool(getattr(model, "cfg_indicator", False))
 
@@ -173,7 +163,7 @@ def make_fused_ddim_episode(
                     for wi, bi in film_idx
                 ]  # list of (1, c_r)
                 y = body(W, films, u)
-                eps = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+                eps = jnp.dot(y.astype(weights_dtype), W(w1_idx),
                               preferred_element_type=jnp.float32) + W(b1_idx)
                 sra_t = coef_ref[si, 0]
                 srm_t = coef_ref[si, 1]
@@ -273,23 +263,9 @@ def make_fused_cfg_episode(
         np.stack([sra, srm, c1, c2, sig * gate], axis=1), jnp.float32
     )  # (n_total, 5) -> SMEM
 
-    half = 16
-    emb_scale = np.log(10000.0) / (half - 1)
-    freqs = np.exp(np.arange(half) * -emb_scale)
-    args = t_eff[:, None] * freqs[None, :]
-    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
-    te = time_p
-    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ te["Dense_0"]["kernel"] + te["Dense_0"]["bias"]))
-    t_embs = jnp.asarray(h1 @ np.asarray(te["Dense_1"]["kernel"]) + np.asarray(te["Dense_1"]["bias"]))
-
-    film_idx = []
-    for wf_, bf_ in films_w:
-        flat.append(jnp.asarray(wf_, jnp.float32))
-        flat.append(jnp.asarray(bf_, jnp.float32))
-        film_idx.append((len(flat) - 2, len(flat) - 1))
-    w1, b1 = f1_w
-    flat.append(jnp.asarray(w1, weights_dtype)); w1_idx = len(flat) - 1
-    flat.append(jnp.asarray(b1, jnp.float32)); b1_idx = len(flat) - 1
+    t_embs = time_embedding_table(time_p, t_eff)
+    film_idx = append_film_weights(flat, films_w)
+    w1_idx, b1_idx = append_final_1x1(flat, f1_w, weights_dtype)
 
     cfg_indicator = bool(getattr(model, "cfg_indicator", False))
 
@@ -335,7 +311,7 @@ def make_fused_cfg_episode(
                 ]  # list of (2, c_r)
                 x2 = jnp.concatenate([u, u], axis=0)  # (2*rows, d)
                 y = body(W, films, x2)
-                eps2 = jnp.dot(y.astype(w1.dtype), W(w1_idx),
+                eps2 = jnp.dot(y.astype(weights_dtype), W(w1_idx),
                                preferred_element_type=jnp.float32) + W(b1_idx)
                 sra_t = coef_ref[si, 0]
                 srm_t = coef_ref[si, 1]

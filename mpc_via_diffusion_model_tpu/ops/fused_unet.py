@@ -334,6 +334,56 @@ def build_unet_ops(model: TemporalUnet, params, batch_size: int, weights_dtype=j
     }
 
 
+def time_embedding_table(time_p, t_eff) -> jnp.ndarray:
+    """Precompute the TimeEncoder output for a STATIC array of eval
+    timesteps: SinusoidalPosEmb(32) -> Dense -> mish -> Dense, evaluated
+    host-side once at build time. Shared by every fused chain/episode
+    builder (the embedding width must track models/layers.py::TimeEncoder)."""
+    half = 16
+    emb_scale = np.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb_scale)
+    args = np.asarray(t_eff, np.float64)[:, None] * freqs[None, :]
+    sin_emb = np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(np.float32)
+    h1 = np.asarray(mish(jnp.asarray(sin_emb) @ time_p["Dense_0"]["kernel"]
+                         + time_p["Dense_0"]["bias"]))
+    return jnp.asarray(h1 @ np.asarray(time_p["Dense_1"]["kernel"])
+                       + np.asarray(time_p["Dense_1"]["bias"]))
+
+
+def append_final_1x1(flat: List[jnp.ndarray], f1_w, weights_dtype) -> Tuple[int, int]:
+    """Append the final 1x1 conv weights to the flat pallas-input list
+    (kernel in ``weights_dtype``, bias fp32); returns (w1_idx, b1_idx)."""
+    w1, b1 = f1_w
+    flat.append(jnp.asarray(w1, weights_dtype))
+    flat.append(jnp.asarray(b1, jnp.float32))
+    return len(flat) - 2, len(flat) - 1
+
+
+def append_film_weights(flat: List[jnp.ndarray], films_w) -> List[Tuple[int, int]]:
+    """Append the per-res-block FiLM Dense (kernel, bias) pairs UNPADDED to
+    the flat list (the episode kernels compute films in-kernel as a python
+    list indexed statically by body()); returns [(w_idx, b_idx), ...]."""
+    film_idx = []
+    for wf_, bf_ in films_w:
+        flat.append(jnp.asarray(wf_, jnp.float32))
+        flat.append(jnp.asarray(bf_, jnp.float32))
+        film_idx.append((len(flat) - 2, len(flat) - 1))
+    return film_idx
+
+
+def stack_film_weights(films_w, max_c) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-padded stacked FiLM weights for the XLA-side one-einsum film
+    precompute used by the per-replan chain kernels:
+    (n_res, cond, max_c), (n_res, max_c)."""
+    wf_stack = jnp.stack([
+        jnp.pad(wf_, ((0, 0), (0, max_c - wf_.shape[1]))) for wf_, _ in films_w
+    ])
+    bf_stack = jnp.stack([
+        jnp.pad(bf_, (0, max_c - bf_.shape[0])) for _, bf_ in films_w
+    ])
+    return wf_stack, bf_stack
+
+
 def make_fused_unet(model: TemporalUnet, params, batch_size: int, interpret: bool = False,
                     weights_dtype=jnp.float32) -> Callable:
     """Build ``fused(x, t, context, context_mask) -> eps_hat`` for a FIXED

@@ -212,7 +212,8 @@ def main():
     # whole-episode CFG kernel with bf16 weights (2x64 = 128 stacked rows is
     # MXU-throughput-bound, where bf16 measures 2.97x over fp32 at identical
     # closed-loop cost — BENCH.md "bf16 weights")
-    if real_weights and os.path.exists(os.path.join(teacher_art, "ema_params.pkl")):
+    if (real_weights and "expert_cost" in report
+            and os.path.exists(os.path.join(teacher_art, "ema_params.pkl"))):
         from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_cfg_episode
 
         with open(os.path.join(teacher_art, "ema_params.pkl"), "rb") as f:

@@ -178,7 +178,7 @@ def main():
         from mpc_via_diffusion_model_tpu.train import load_checkpoint
         state, _ = load_checkpoint(ckpt_path)
         t_train = 0.0
-        losses = [float("nan")]
+        losses = [None]  # json-safe: NaN would be invalid strict JSON
         print(f"[train] reused checkpoint {ckpt_path}", flush=True)
     else:
         optimizer = make_optimizer(lr=3e-3)

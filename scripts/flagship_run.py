@@ -158,9 +158,9 @@ def main():
             noise_std=0.15, n_noisy=args.noisy, key=jax.random.PRNGKey(0),
             state_to_condition=to_cond,
         )
-    t_collect = time.time() - t0
     n_solves = ds.n_init
     if not reuse:
+        t_collect = time.time() - t0
         print(f"[collect] {ds.n_init} samples in {t_collect:.1f}s "
               f"({n_solves / t_collect:.0f} iLQR solves/s)", flush=True)
         ds.save(ds_path)
@@ -183,7 +183,7 @@ def main():
     if reuse_ckpt:
         from mpc_via_diffusion_model_tpu.train import load_checkpoint
         state, extra = load_checkpoint(ckpt_path)
-        losses = list(extra.get("losses", [float("nan")])) or [float("nan")]
+        losses = list(extra.get("losses", [])) or [None]  # json-safe fallback
         t_train = 0.0
         print(f"[train] reused checkpoint {ckpt_path}", flush=True)
     else:
@@ -279,7 +279,7 @@ def main():
     report = {
         "n_samples": ds.n_init,
         "collect_seconds": round(t_collect, 1),
-        "solves_per_second": round(n_solves / t_collect, 1),
+        "solves_per_second": round(n_solves / t_collect, 1) if t_collect > 0 else None,
         "train_steps": args.train_steps,
         "train_seconds": round(t_train, 1),
         "final_loss": losses[-1],

@@ -87,6 +87,28 @@ def test_fused_ddim_chain_matches_scan():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_pair_tables_grid_parity():
+    """Even-length teacher grids keep BOTH teacher sub-steps in the last
+    pair (mid = tt[-1], b != identity); odd-length grids use the single
+    final recon (identity second sub-step)."""
+    from mpc_via_diffusion_model_tpu.diffusion.distillation import distill_pair_tables
+
+    schedule = make_schedule("exponential", 10)
+    # even: [7..0] -> ts [7,5,3,1]; last pair must be the true (1 -> 0 -> -1)
+    T = distill_pair_tables(schedule, list(range(7, -1, -1)))
+    assert int(T["mid"][-1]) == 0
+    # second sub-step (0 -> -1) is the pure recon (c1=1, c2=0), NOT identity
+    np.testing.assert_allclose(float(T["b_c1"][-1]), 1.0)
+    np.testing.assert_allclose(float(T["b_c2"][-1]), 0.0)
+    # odd: [8..0] -> ts [8,6,4,2,0]; last pair is the single (0 -> -1) recon,
+    # second sub-step is the identity (its teacher eval is unused)
+    T = distill_pair_tables(schedule, list(range(8, -1, -1)))
+    np.testing.assert_allclose(float(T["a_c1"][-1]), 1.0)
+    np.testing.assert_allclose(float(T["a_c2"][-1]), 0.0)
+    np.testing.assert_allclose(float(T["b_c1"][-1]), 0.0)
+    np.testing.assert_allclose(float(T["b_c2"][-1]), 1.0)
+
+
 def test_time_grid_t_start_skips_degenerate_endpoint():
     g = ddim_time_grid(25, t_start=23)
     assert g[0] == 23 and g[-1] == 0 and len(g) == 24
