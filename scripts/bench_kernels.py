@@ -18,8 +18,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpc_via_diffusion_model_tpu.eval.timing import time_fn
 from mpc_via_diffusion_model_tpu.ops import conv1d_gn_mish_reference, fused_conv1d_gn_mish
+
+
+def _time_pipelined(fn, x, n_repeat=50):
+    """Per-op time with the relay latency amortized: issue n_repeat async
+    dispatches, sync once (a block-per-call loop measures this container's
+    ~31 ms dispatch latency, not the op — BENCH.md 'Where the time goes')."""
+    import time
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    outs = [fn(x) for _ in range(n_repeat)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / n_repeat
 
 SHAPES = [
     # (batch, horizon, cin, cout) — U-Net levels for the flagship config
@@ -45,14 +56,14 @@ def main():
         groups = 8 if cout % 8 == 0 else 1
 
         ref = jax.jit(lambda x: conv1d_gn_mish_reference(x, w, b, gamma, beta, groups))
-        t_ref = time_fn(ref, x, n_repeat=20)["median_s"]
+        t_ref = _time_pipelined(ref, x)
 
         if on_tpu:
             fused = jax.jit(lambda x: fused_conv1d_gn_mish(x, w, b, gamma, beta, groups))
             out_f = fused(x)
             out_r = ref(x)
             err = float(jnp.max(jnp.abs(out_f - out_r)))
-            t_fused = time_fn(fused, x, n_repeat=20)["median_s"]
+            t_fused = _time_pipelined(fused, x)
         else:
             err, t_fused = 0.0, float("nan")
 
