@@ -5,3 +5,4 @@ from .mesh import (
     make_dp_train_step,
     make_sharded_eval,
 )
+from .tensor_parallel import make_tp_ampc_apply
