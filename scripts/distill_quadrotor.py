@@ -1,0 +1,185 @@
+"""Progressive distillation of the quadrotor CFG policy (second plant family).
+
+Same recipe as scripts/distill_flagship.py (the machinery in
+diffusion/distillation.py is plant-agnostic): the 25-step CFG quadrotor
+teacher (artifacts/flagship_quadrotor) distills to conditional-only DDIM
+students with 12 -> 6 -> 3 U-Net evals, guidance weight baked in. Students
+replicate the UNGUIDED teacher (the obstacle-gradient guide closes over the
+live plant state and cannot be baked into weights), so the eval compares
+each student's closed-loop cost / collision-free fraction / goal reach
+against the unguided teacher and the MPPI expert on the same 16 held-out
+starts as the flagship run.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+from flagship_quadrotor import OBS_CENTERS, OBS_RADII
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--teacher", default="artifacts/flagship_quadrotor")
+    p.add_argument("--out", default="artifacts/distilled_quadrotor")
+    p.add_argument("--horizon", type=int, default=48)
+    p.add_argument("--w", type=float, default=0.01)
+    p.add_argument("--steps-per-round", type=int, default=30000)
+    p.add_argument("--chunk", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--eval-starts", type=int, default=16)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mpc_via_diffusion_model_tpu.control import make_closed_loop
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.diffusion.distillation import (
+        ddim_time_grid, make_distill_step, make_student_ddim_sampler,
+    )
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant
+    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.train import (
+        TrainState, make_optimizer, make_scanned_train_steps,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    plant, quad_cost = get_plant("quadrotor")
+    m_hover = 9.81
+    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+
+    class TaskCost:  # the flagship's hover + obstacle cost
+        @staticmethod
+        def stage(x, u):
+            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
+            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
+                    + obstacle_cost(x[None], centers, radii))
+
+        @staticmethod
+        def terminal(x):
+            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
+
+    cost = TaskCost()
+    ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
+    with open(os.path.join(args.teacher, "ema_params.pkl"), "rb") as f:
+        teacher_params = pickle.load(f)
+    flagship_report = json.load(open(os.path.join(args.teacher, "report.json")))
+
+    model = TemporalUnet(
+        state_dim=4, n_support_points=args.horizon, unet_input_dim=32,
+        dim_mults=UNET_DIM_MULTS[0], context_dim=12, conditioning_type="default",
+        cfg_indicator=True,
+    )
+    schedule = make_schedule("exponential", 25)
+    diffusion = GaussianDiffusion(schedule=schedule)
+
+    # the flagship's 16 held-out eval starts
+    n_eval_steps = 60
+    e_rng = np.random.RandomState(7)
+    ev = np.zeros((args.eval_starts, 12), np.float32)
+    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
+    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
+    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
+    ev_j = jnp.asarray(ev)
+    ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
+
+    def metrics(runs):
+        xt = np.asarray(runs.x_track)
+        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
+        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))
+        goal = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
+        return {
+            "collision_free_fraction": float((clearance > 0).mean()),
+            "goal_reach_fraction_0.5": float((goal < 0.5).mean()),
+            "cost_mean": float(np.asarray(runs.stage_costs.sum(axis=1)).mean()),
+        }
+
+    def eval_student(params, times):
+        sampler = make_student_ddim_sampler(schedule, model.apply, times)
+        override = lambda ctx, key: sampler(params, ctx, key, (1, args.horizon, 4))
+        loop = jax.jit(make_closed_loop(
+            diffusion, model.apply, ds.normalizer.stats["inputs"],
+            ds.normalizer.stats["condition"], plant, cost,
+            horizon=args.horizon, n_steps=n_eval_steps, sample_override=override))
+        runs = jax.jit(jax.vmap(lambda x0, k: loop(params, x0, k)))(ev_j, ks)
+        return metrics(runs)
+
+    report = {
+        "teacher": args.teacher,
+        "teacher_unguided": flagship_report["unguided"],
+        "mppi_expert": flagship_report["mppi_expert"],
+        "w": args.w,
+        "rounds": [],
+    }
+
+    times = ddim_time_grid(25, t_start=23)
+    cur_teacher = teacher_params
+    optimizer = make_optimizer(lr=args.lr)
+    for r in range(args.rounds):
+        t0 = time.time()
+        step_fn, student_times = make_distill_step(
+            schedule, model.apply, optimizer, cur_teacher, times,
+            w=args.w, teacher_cfg=(r == 0),
+        )
+        chunk_fn = make_scanned_train_steps(step_fn, args.chunk)
+        chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
+        state = TrainState(
+            params=cur_teacher,
+            ema_params=jax.tree_util.tree_map(jnp.copy, cur_teacher),
+            opt_state=optimizer.init(cur_teacher),
+            step=jnp.int32(0),
+        )
+        key = jax.random.PRNGKey(20 + r)
+        losses = []
+        for c in range(args.steps_per_round // args.chunk):
+            key, k = jax.random.split(key)
+            state, loss = chunk_jit(state, ds.inputs_normalized,
+                                    ds.condition_normalized, k)
+            losses.append(float(loss))
+        t_train = time.time() - t0
+        student = jax.device_get(state.ema_params)
+        m = eval_student(student, student_times)
+        rec = {
+            "n_evals": len(student_times),
+            "times": [int(t) for t in student_times],
+            "train_seconds": round(t_train, 1),
+            "final_loss": losses[-1],
+            **m,
+        }
+        report["rounds"].append(rec)
+        print(f"[round {r}] {len(student_times)}-eval student: cost "
+              f"{m['cost_mean']:.1f}, CF {m['collision_free_fraction']:.3f}, "
+              f"reach {m['goal_reach_fraction_0.5']:.3f} in {t_train:.0f}s",
+              flush=True)
+        with open(os.path.join(args.out, f"student_{len(student_times)}eval.pkl"),
+                  "wb") as f:
+            pickle.dump(student, f)
+        cur_teacher = student
+        times = student_times
+
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
