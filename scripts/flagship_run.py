@@ -239,15 +239,21 @@ def main():
     # the expert against a sampling-based solver of a different family (MPPI)
     # on the same state — closed-loop costs should agree to a few percent.
     cross_check = None
-    if args.plant == "panda_rbd":
+    if args.plant in ("panda_rbd", "acrobot"):
         from mpc_via_diffusion_model_tpu.solvers.mppi import MPPIConfig, mppi_solve
-        # MPPI plans over a SHORTER horizon than the iLQR expert (32 vs 128):
-        # full-horizon sampling rollouts of the articulated plant are one
-        # ~30-min dispatch, which the device worker kills; a 32-step MPPI is
-        # still a valid independent controller for anchoring the closed-loop
-        # cost (both run the same 80-step receding-horizon protocol).
-        mcfg = MPPIConfig(horizon=32, n_samples=256, n_iterations=6,
-                          noise_sigma=1.0, temperature=0.5)
+        # MPPI plans over a SHORTER horizon than the iLQR expert where the
+        # plant is expensive (32 vs 128 on the articulated arm: full-horizon
+        # sampling rollouts are one ~30-min dispatch, which the device
+        # worker kills); a short-horizon MPPI is still a valid independent
+        # controller for anchoring the closed-loop cost (both run the same
+        # 80-step receding-horizon protocol). Exploration noise is scaled
+        # to the plant's torque range.
+        if args.plant == "acrobot":
+            mcfg = MPPIConfig(horizon=32, n_samples=512, n_iterations=8,
+                              noise_sigma=15.0, temperature=2.0)
+        else:
+            mcfg = MPPIConfig(horizon=32, n_samples=256, n_iterations=6,
+                              noise_sigma=1.0, temperature=0.5)
 
         def mppi_loop(x0m, k):
             u_ws = jnp.zeros((mcfg.horizon, plant.control_dim))
