@@ -15,5 +15,6 @@ from .guides import (
     first_order_smoothness_guide,
     last_point_guide,
     multi_sphere_obstacle_guide,
+    se3_orientation_goal_guide,
     control_effort_guide,
 )

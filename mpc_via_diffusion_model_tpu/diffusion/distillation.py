@@ -166,6 +166,8 @@ def make_distill_step(
     ema_decay: float = 0.995,
     step_start_ema: int = 200,
     update_ema_every: int = 10,
+    guide_fn: Callable | None = None,
+    t_start_guide: float = float("inf"),
 ):
     """One progressive-distillation round's train step.
 
@@ -175,6 +177,17 @@ def make_distill_step(
     combination at weight ``w`` (used in the FIRST round to bake guidance
     in); later rounds pass False — teacher and student are both
     conditional-only.
+
+    ``guide_fn(x_norm_batch, ctx_norm_batch) -> delta`` bakes a sampling-time
+    cost-gradient guide into the student (first round only, like the CFG
+    weight): each teacher DDIM sub-step stepping FROM a timestep
+    ``< t_start_guide`` gets the guide delta added to its landing point —
+    exactly `GaussianDiffusion.ddpm_step`'s post-step guide hook — so the
+    student's one step learns to land where the GUIDED teacher's two steps
+    do. The guide is a function of the conditioning context (it closes over
+    the plant state = unnormalize(ctx)), so the guided conditional
+    distribution is learnable by a context-conditioned student; the distilled
+    sampler then needs NO guide at inference (VERDICT r2 #3).
 
     Returns ``(step_fn, student_times)``; ``step_fn`` matches
     `make_train_step`'s signature and plugs into `make_scanned_train_steps`.
@@ -186,6 +199,14 @@ def make_distill_step(
     ts = list(student_times)
     n_pairs = len(ts)
     T = distill_pair_tables(schedule, teacher_times)
+    # guide gating per sub-step, matching ddpm_step's `i < t_start_guide`
+    # (i = the timestep being stepped FROM). The b sub-step of an odd-parity
+    # last pair is the identity (distill_pair_tables) — no step, no guide.
+    tt = list(teacher_times)
+    gate_a = jnp.asarray([float(t < t_start_guide) for t in ts], jnp.float32)
+    gate_b = jnp.asarray(
+        [float(2 * j + 1 < len(tt) and tt[2 * j + 1] < t_start_guide)
+         for j in range(n_pairs)], jnp.float32)
     abar = np.asarray(schedule.alphas_cumprod, np.float64)
     sqrt_ab = jnp.asarray(np.sqrt(abar), jnp.float32)
     sqrt_1mab = jnp.asarray(np.sqrt(1.0 - abar), jnp.float32)
@@ -222,9 +243,13 @@ def make_distill_step(
         eps_a = teacher_eps(x_t, t_hi, ctx)
         recon_a = clip(expand(T["a_sra"][j]) * x_t - expand(T["a_srm"][j]) * eps_a)
         x_mid = expand(T["a_c1"][j]) * recon_a + expand(T["a_c2"][j]) * x_t
+        if guide_fn is not None:
+            x_mid = x_mid + expand(gate_a[j]) * guide_fn(x_mid, ctx)
         eps_b = teacher_eps(x_mid, T["mid"][j], ctx)
         recon_b = clip(expand(T["b_sra"][j]) * x_mid - expand(T["b_srm"][j]) * eps_b)
         x_tgt = expand(T["b_c1"][j]) * recon_b + expand(T["b_c2"][j]) * x_mid
+        if guide_fn is not None:
+            x_tgt = x_tgt + expand(gate_b[j]) * guide_fn(x_tgt, ctx)
 
         # the x0 the student must predict so ONE step lands at x_tgt
         recon_star = (x_tgt - expand(T["s_c2"][j]) * x_t) / expand(T["s_c1"][j])

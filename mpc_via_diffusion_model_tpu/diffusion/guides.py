@@ -19,6 +19,7 @@ Guide functions mirror the reference classes:
 - first_order_smoothness_guide     <- GuideTrajectorySmoothnessFirstOrder (`:507`)
 - last_point_guide                 <- GuideTrajectoryLastPoint (`:567`)
 - multi_sphere_obstacle_guide      <- GuideTrajectoryObstacleAvoidanceMultiSphere (`:585`)
+- se3_orientation_goal_guide       <- GuideSE3OrientationGoal (`:522-564`)
 - control_effort_guide             <- GuideManagerCartPole live path (`:371-422`):
   grad = -scale * clip(2 * sum|u|) in normalized space
 """
@@ -48,6 +49,7 @@ __all__ = [
     "first_order_smoothness_guide",
     "last_point_guide",
     "multi_sphere_obstacle_guide",
+    "se3_orientation_goal_guide",
     "control_effort_guide",
 ]
 
@@ -198,6 +200,48 @@ def multi_sphere_obstacle_guide(centers: jnp.ndarray, radii: jnp.ndarray, max_sd
         d = _safe_norm(x[..., None, :2] - centers[..., :2]) - radii
         dmin = jnp.min(d, axis=-1)
         return -jnp.sum(smooth_distance_penalty(dmin, max_sdf), axis=-1)
+
+    return reward
+
+
+def se3_orientation_goal_guide(
+    rot_des: jnp.ndarray,
+    w_rot: float = 1.0,
+    fk_rot_fn: Optional[Callable] = None,
+) -> RewardFn:
+    """End-effector orientation goal on joint-space trajectories
+    (reference `GuideSE3OrientationGoal`, `guides.py:522-564`).
+
+    The reference builds a desired pose H_des equal to the CURRENT EE pose
+    with its rotation block replaced by ``rot_des`` and scores
+    ``-SE3_distance(H_ee, H_des, w_rot)``; with identical translations that
+    distance reduces to the w_rot-weighted rotation geodesic
+    ``sqrt(w_rot) * ||Log(R_ee^T R_des)||``, which is what this computes —
+    summed over the horizon, negated (maximize).
+
+    ``fk_rot_fn(q7) -> (3, 3)`` maps one joint configuration to the EE
+    rotation; defaults to the library's Panda modified-DH chain
+    (`dynamics/arm.py::panda_link_transforms`, the same frames the RNE
+    dynamics use). Trajectories are (..., H, 7) joint configs.
+    """
+    if fk_rot_fn is None:
+        from ..dynamics.arm import panda_link_transforms
+
+        def fk_rot_fn(q):
+            return panda_link_transforms(q)[-1][0]
+
+    rot_des = jnp.asarray(rot_des, jnp.float32)
+
+    def reward(x):
+        lead = x.shape[:-2]
+        q_flat = x.reshape((-1, x.shape[-1]))
+        r_ee = jax.vmap(fk_rot_fn)(q_flat)  # (N, 3, 3)
+        # geodesic angle via the trace identity, clipped inside the open
+        # interval so the arccos gradient stays finite at 0 and pi
+        tr = jnp.einsum("nij,ij->n", r_ee, rot_des)
+        cos = jnp.clip(0.5 * (tr - 1.0), -1.0 + 1e-6, 1.0 - 1e-6)
+        ang = jnp.arccos(cos).reshape(lead + x.shape[-2:-1])  # (..., H)
+        return -jnp.sqrt(w_rot) * jnp.sum(ang, axis=-1)
 
     return reward
 

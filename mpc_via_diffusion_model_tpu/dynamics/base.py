@@ -70,12 +70,20 @@ class QuadraticCost:
         return jnp.sum(self.p_diag * jnp.square(x))
 
 
-def rollout(plant: Plant, x0: jnp.ndarray, u_seq: jnp.ndarray) -> jnp.ndarray:
+def rollout(plant: Plant, x0: jnp.ndarray, u_seq: jnp.ndarray,
+            unroll: int = 1) -> jnp.ndarray:
     """Roll the plant through a control sequence.
 
     Args:
       x0: (state_dim,) initial state.
       u_seq: (horizon, control_dim) controls.
+      unroll: lax.scan unroll factor. The rollout is inherently sequential
+        tiny-op work; differentiating through it (cost-gradient guides) runs
+        a second sequential scan backward. Full unroll lets XLA fuse the
+        whole chain: measured 12.6 -> 22.6 Hz (1.8x) on the guided quadrotor
+        closed loop (BENCH.md), which stays op-latency-bound — the serving
+        answer to guided speed is distilling the guided teacher
+        (scripts/distill_quadrotor.py --guided).
 
     Returns:
       (horizon + 1, state_dim) state trajectory including ``x0``.
@@ -85,7 +93,7 @@ def rollout(plant: Plant, x0: jnp.ndarray, u_seq: jnp.ndarray) -> jnp.ndarray:
         x_next = plant.step(x, u)
         return x_next, x_next
 
-    _, xs = jax.lax.scan(body, x0, u_seq)
+    _, xs = jax.lax.scan(body, x0, u_seq, unroll=unroll)
     return jnp.concatenate([x0[None], xs], axis=0)
 
 

@@ -50,6 +50,19 @@ class MetricsWriter:
         if self._wandb:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, name: str, fig, step: int) -> None:
+        """Log a matplotlib figure: wandb.Image when wandb is live (the
+        reference renders sampled joint-space trajectories into the logger,
+        `summary_trajectory_generation.py:60-84`), and a PNG under
+        ``log_dir/images/`` always (so headless runs keep the artifact)."""
+        if self.log_dir:
+            img_dir = os.path.join(self.log_dir, "images")
+            os.makedirs(img_dir, exist_ok=True)
+            fig.savefig(os.path.join(img_dir, f"{name}_step{int(step):07d}.png"),
+                        dpi=120, bbox_inches="tight")
+        if self._wandb:
+            self._wandb.log({name: self._wandb.Image(fig)}, step=step)
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()
@@ -71,10 +84,16 @@ def make_trajectory_summary(
     dataset,
     n_samples: int = 25,
     n_diffusion_steps_without_noise: int = 5,
+    image_writer: Optional["MetricsWriter"] = None,
 ):
     """Build ``summary(params, key) -> dict`` sampling n trajectories for a
     random dataset task and scoring them (reference
-    `summary_trajectory_generation.py:16-97`)."""
+    `summary_trajectory_generation.py:16-97`).
+
+    With ``image_writer`` the sampled trajectories are ALSO rendered over the
+    planning env (best-collision-free highlighted) and logged via
+    `MetricsWriter.log_image` — the reference's wandb joint-space render
+    (`summary_trajectory_generation.py:60-84`)."""
     from ..eval.planning_metrics import planning_metrics
 
     horizon = dataset.n_support_points
@@ -89,6 +108,8 @@ def make_trajectory_summary(
 
     sample_jit = jax.jit(sample)
 
+    n_calls = [0]
+
     def summary(params, key) -> Dict[str, float]:
         k_task, k_sample = jax.random.split(key)
         idx = int(jax.random.randint(k_task, (), 0, len(dataset)))
@@ -97,8 +118,20 @@ def make_trajectory_summary(
         hard_conds = dataset.get_hard_conditions(start, goal, n_samples=n_samples)
         x_norm = sample_jit(params, hard_conds, k_sample)
         trajs = dataset.unnormalize_trajectories(x_norm)
+        n_calls[0] += 1
         if dataset.env is None:
             return {}
-        return planning_metrics(dataset.env, trajs)
+        metrics = planning_metrics(dataset.env, trajs)
+        if image_writer is not None:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from .plotting import plot_planning_env
+
+            fig = plot_planning_env(dataset.env, np.asarray(trajs))
+            image_writer.log_image("sampled_trajectories", fig, step=n_calls[0])
+            plt.close(fig)
+        return metrics
 
     return summary

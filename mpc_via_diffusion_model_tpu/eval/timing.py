@@ -3,7 +3,13 @@
 Replaces the reference's TimerCUDA-wrapped per-step prints
 (`Diffusion_MPC_Inference.py:231-241,375-379,501-502`) with a
 warmup-then-median harness that respects XLA async dispatch
-(block_until_ready) — the numbers bench.py reports come from here.
+(block_until_ready). Used by scripts and tests for single-program timing;
+note `bench.py` does NOT use this harness — the relay's ~31 ms dispatch
+latency makes block-per-call timing misleading there, so bench.py times
+pipelined dispatch batches inline (see its docstring and BENCH.md's
+protocol note). Phase-level spans for whole runs come from
+`native.tracer.Tracer` (chrome-trace JSON; wired into flagship_run and
+Trainer.fit).
 """
 from __future__ import annotations
 

@@ -29,6 +29,9 @@ MODELS = {
 }
 from .score_models import (
     ScoreMLP,
+    ContextScoreMLP,
+    SDFScoreMLP,
+    SharedFeatureSDFScoreMLP,
     ve_marginal_prob_std,
     ve_diffusion_coeff,
     score_matching_loss,

@@ -26,7 +26,9 @@ from flax import linen as nn
 
 from .layers import ACTIVATIONS
 
-__all__ = ["ve_marginal_prob_std", "ve_diffusion_coeff", "ScoreMLP", "ode_likelihood"]
+__all__ = ["ve_marginal_prob_std", "ve_diffusion_coeff", "ScoreMLP",
+           "ContextScoreMLP", "SDFScoreMLP", "SharedFeatureSDFScoreMLP",
+           "ode_likelihood"]
 
 
 def ve_marginal_prob_std(t: jnp.ndarray, sigma_min: float = 0.01, sigma_max: float = 50.0) -> jnp.ndarray:
@@ -138,3 +140,116 @@ def ode_likelihood(
         2 * sigma_t ** 2
     )
     return z, prior_logp + delta_logp
+
+
+# --------------------------------------------------------------------------- #
+# context / SDF score-model variants
+# --------------------------------------------------------------------------- #
+
+class ContextScoreMLP(nn.Module):
+    """Context-conditioned score MLP (reference `ContextScoreModel`,
+    `mlp_score_model.py:79-122` — dead code there, working here).
+
+    The reference threads dict fields through env/task sub-encoders and
+    concatenates ``(x, env, task, start, time_embed)``; here the encoders are
+    explicit inner MLPs and the call takes the raw feature arrays:
+    ``__call__(x, t, env_feat, task_feat, start)``. Output is the score,
+    scaled by 1/sigma(t) like `ScoreMLP`.
+    """
+
+    x_dim: int
+    hidden_dim: int = 128
+    embed_dim: int = 64
+    env_embed_dim: int = 16
+    task_embed_dim: int = 16
+    act: str = "mish"
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+
+    @nn.compact
+    def __call__(self, x, t, env_feat, task_feat, start):
+        act = ACTIVATIONS[self.act]
+        emb = act(nn.Dense(self.embed_dim)(GaussianFourierFeatures(self.embed_dim)(t)))
+        env = act(nn.Dense(self.env_embed_dim)(env_feat))
+        task = act(nn.Dense(self.task_embed_dim)(task_feat))
+        h = jnp.concatenate([x, env, task, start, emb], axis=-1)
+        h = act(nn.Dense(self.hidden_dim)(h))
+        h = act(nn.Dense(self.hidden_dim)(h))
+        h = nn.Dense(self.x_dim)(h)
+        sigma = ve_marginal_prob_std(t, self.sigma_min, self.sigma_max)
+        return h / sigma[:, None]
+
+
+class SDFScoreMLP(nn.Module):
+    """Score MLP conditioned on signed-distance-field values at the
+    trajectory's waypoints (reference `SDFScoreModel`,
+    `mlp_score_model.py:124-176`).
+
+    ``sdf_fn(points (..., 2)) -> (...,)`` is the environment SDF (e.g.
+    `envs.planning2d.PlanningEnv2D.sdf`); with ``use_sdf_value`` the
+    per-waypoint SDF values join the conditioning vector, mirroring the
+    reference's ``use_sdf_value`` switch. x is a flattened 2-D trajectory
+    (B, n_support_points * 2).
+    """
+
+    n_support_points: int
+    hidden_dim: int = 128
+    embed_dim: int = 64
+    env_embed_dim: int = 16
+    task_embed_dim: int = 16
+    use_sdf_value: bool = True
+    act: str = "mish"
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    sdf_fn: Callable = None
+
+    @nn.compact
+    def __call__(self, x, t, env_feat, task_feat):
+        act = ACTIVATIONS[self.act]
+        b = x.shape[0]
+        emb = act(nn.Dense(self.embed_dim)(GaussianFourierFeatures(self.embed_dim)(t)))
+        env = act(nn.Dense(self.env_embed_dim)(env_feat))
+        task = act(nn.Dense(self.task_embed_dim)(task_feat))
+        parts = [x, env, task, emb]
+        if self.use_sdf_value:
+            pts = x.reshape(b, self.n_support_points, 2)
+            parts.insert(1, self.sdf_fn(pts).reshape(b, self.n_support_points))
+        h = jnp.concatenate(parts, axis=-1)
+        h = act(nn.Dense(self.hidden_dim)(h))
+        h = act(nn.Dense(self.hidden_dim)(h))
+        h = nn.Dense(self.n_support_points * 2)(h)
+        sigma = ve_marginal_prob_std(t, self.sigma_min, self.sigma_max)
+        return h / sigma[:, None]
+
+
+class SharedFeatureSDFScoreMLP(nn.Module):
+    """Score MLP whose conditioning includes LEARNED SDF features evaluated
+    at the trajectory waypoints (reference `SharedFeatureSDFScoreModel`,
+    `mlp_score_model.py:178-220`): a small feature net phi(point) is shared
+    across waypoints (the reference's sdf_model.feature_field), its outputs
+    pooled over the horizon and concatenated with task/start/time."""
+
+    n_support_points: int
+    hidden_dim: int = 128
+    embed_dim: int = 64
+    sdf_feature_dim: int = 16
+    task_embed_dim: int = 16
+    act: str = "mish"
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+
+    @nn.compact
+    def __call__(self, x, t, task_feat, start):
+        act = ACTIVATIONS[self.act]
+        b = x.shape[0]
+        emb = act(nn.Dense(self.embed_dim)(GaussianFourierFeatures(self.embed_dim)(t)))
+        pts = x.reshape(b, self.n_support_points, 2)
+        phi = act(nn.Dense(self.sdf_feature_dim)(act(nn.Dense(self.sdf_feature_dim)(pts))))
+        sdf_features = jnp.mean(phi, axis=1)  # (b, sdf_feature_dim)
+        task = act(nn.Dense(self.task_embed_dim)(task_feat))
+        h = jnp.concatenate([x, sdf_features, task, start, emb], axis=-1)
+        h = act(nn.Dense(self.hidden_dim)(h))
+        h = act(nn.Dense(self.hidden_dim)(h))
+        h = nn.Dense(self.n_support_points * 2)(h)
+        sigma = ve_marginal_prob_std(t, self.sigma_min, self.sigma_max)
+        return h / sigma[:, None]

@@ -72,6 +72,19 @@ class Tracer:
             t1 = self._lib.tracer_now_ns(self._h)
             self._lib.tracer_span(self._h, name.encode(), t0, t1 - t0)
 
+    def begin(self, name: str) -> None:
+        """Explicit begin/end phase pair — for spans over code that a `with`
+        block cannot wrap cleanly (e.g. flagship_run's collect/train/eval
+        phases). LIFO-nested like chrome-trace expects."""
+        if not hasattr(self, "_stack"):
+            self._stack = []
+        self._stack.append((name, self._lib.tracer_now_ns(self._h)))
+
+    def end(self) -> None:
+        name, t0 = self._stack.pop()
+        t1 = self._lib.tracer_now_ns(self._h)
+        self._lib.tracer_span(self._h, name.encode(), t0, t1 - t0)
+
     def instant(self, name: str) -> None:
         self._lib.tracer_instant(self._h, name.encode())
 

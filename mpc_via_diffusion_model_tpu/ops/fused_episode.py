@@ -34,7 +34,7 @@ In-kernel additions over the per-replan kernels:
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,25 @@ def _affine_consts(stats: NormalizerStats, dim: int):
     return n_shift, n_scale, u_shift, u_scale
 
 
+def _kernel_safe_fn(fn: Callable, flat: list, *example_args):
+    """Closure-convert ``fn`` and append its captured array constants to the
+    pallas input list (Mosaic kernels cannot capture concrete arrays — the
+    panda plant's RNE step and FK context close over DH/inertia tables).
+    Returns ``call(W, *args)`` where ``W(idx)`` reads a flat input."""
+    cc, consts = jax.closure_convert(fn, *example_args)
+    recs = []
+    for c in consts:
+        c = jnp.asarray(c)
+        recs.append((len(flat), c.shape, c.dtype))
+        flat.append(c.reshape(1, -1) if c.ndim < 2 else c)
+
+    def call(W, *args):
+        cs = [W(i).reshape(sh).astype(dt) for i, sh, dt in recs]
+        return cc(*args, *cs)
+
+    return call
+
+
 def make_fused_ddim_episode(
     model: TemporalUnet,
     params,
@@ -86,12 +105,17 @@ def make_fused_ddim_episode(
     weights_dtype=jnp.float32,
     clip_denoised: bool = True,
     interpret: bool = False,
+    state_to_condition: Optional[Callable] = None,
 ) -> Callable:
     """Build ``episode(x0, key) -> (x_track, u_track, stage_costs)`` — the
     full distilled-student closed loop (conditional DDIM chain, guidance
     baked in) as one kernel. Matches
     ``make_closed_loop(..., sample_override=make_fused_ddim_chain(...))``
     step for step (same per-replan key split, same clip/normalize semantics).
+
+    ``state_to_condition`` maps the plant state (dx,) to the conditioning
+    vector (model.context_dim,) IN-kernel (e.g. the Panda FK context,
+    `dynamics/arm.py::panda_context`); identity when None.
     """
     from ..diffusion.distillation import ddim_affine_coefs
 
@@ -107,6 +131,9 @@ def make_fused_ddim_episode(
     dx = plant.state_dim
     du = plant.control_dim
     assert d_state == du, "episode kernel denoises control sequences"
+    # conditioning width: the model's context_dim when a state->condition
+    # map is given (e.g. panda FK context), the raw state width otherwise
+    dc = int(model.context_dim) if state_to_condition is not None else dx
 
     C = ddim_affine_coefs(schedule, times)
     n_total = len(C["t"])
@@ -126,15 +153,24 @@ def make_fused_ddim_episode(
     # normalizer affines ride the flat input list (pallas kernels may not
     # capture concrete arrays); the quadratic-cost diagonals become unrolled
     # python-float scalar math below for the same reason
-    cn_shift, cn_scale, _, _ = _affine_consts(condition_stats, dx)
+    cn_shift, cn_scale, _, _ = _affine_consts(condition_stats, dc)
     _, _, un_shift, un_scale = _affine_consts(inputs_stats, du)
-    flat.append(jnp.asarray(cn_shift.reshape(1, dx))); cns_idx = len(flat) - 1
-    flat.append(jnp.asarray(cn_scale.reshape(1, dx))); cnc_idx = len(flat) - 1
+    flat.append(jnp.asarray(cn_shift.reshape(1, dc))); cns_idx = len(flat) - 1
+    flat.append(jnp.asarray(cn_scale.reshape(1, dc))); cnc_idx = len(flat) - 1
     flat.append(jnp.asarray(un_shift.reshape(1, du))); uns_idx = len(flat) - 1
     flat.append(jnp.asarray(un_scale.reshape(1, du))); unc_idx = len(flat) - 1
 
     q_diag = [float(v) for v in np.asarray(cost.q_diag).reshape(-1)]
     r_diag = list(np.broadcast_to(np.asarray(cost.r, np.float64).reshape(-1), (du,)))
+
+    # in-kernel plant step / context map with captured arrays hoisted onto
+    # the pallas input list (see _kernel_safe_fn)
+    plant_call = _kernel_safe_fn(lambda x, u: plant.step(x, u), flat,
+                                 jnp.zeros((dx,), jnp.float32),
+                                 jnp.zeros((du,), jnp.float32))
+    cond_call = (_kernel_safe_fn(lambda x: state_to_condition(x), flat,
+                                 jnp.zeros((dx,), jnp.float32))
+                 if state_to_condition is not None else None)
 
     rows = horizon  # n_samples = 1
 
@@ -149,7 +185,8 @@ def make_fused_ddim_episode(
 
         def replan(step_i, x):
             # x: (1, dx) current plant state
-            ctx = (x - W(cns_idx)) * W(cnc_idx)  # normalized condition (1, dx)
+            raw = cond_call(W, x[0])[None] if cond_call is not None else x  # (1, dc)
+            ctx = (raw - W(cns_idx)) * W(cnc_idx)  # normalized condition (1, dc)
 
             def denoise(si, u):
                 # u: (rows, d_state) current normalized control sample
@@ -182,7 +219,7 @@ def make_fused_ddim_episode(
             u0 = u_seq[0]  # (du,)
             stage = sum(q_diag[i] * x[0, i] * x[0, i] for i in range(dx)) \
                 + sum(r_diag[j] * u0[j] * u0[j] for j in range(du))
-            x_next = plant.step(x[0], u0)[None]  # (1, dx)
+            x_next = plant_call(W, x[0], u0)[None]  # (1, dx)
             xtr_ref[step_i + 1] = x_next[0]
             utr_ref[step_i] = u0
             cost_ref[step_i] = jnp.reshape(stage, (1,))
@@ -231,6 +268,7 @@ def make_fused_cfg_episode(
     weights_dtype=jnp.float32,
     clip_denoised: bool = True,
     interpret: bool = False,
+    state_to_condition: Optional[Callable] = None,
 ) -> Callable:
     """The HEADLINE protocol as one kernel: the full CFG DDPM closed loop
     (`bench.py` — n_steps replans x (T + tail) denoise steps x 2 CFG U-Net
@@ -246,6 +284,9 @@ def make_fused_cfg_episode(
     dx = plant.state_dim
     du = plant.control_dim
     assert d_state == du, "episode kernel denoises control sequences"
+    # conditioning width: the model's context_dim when a state->condition
+    # map is given (e.g. panda FK context), the raw state width otherwise
+    dc = int(model.context_dim) if state_to_condition is not None else dx
 
     n_tail = n_diffusion_steps_without_noise
     n_total = schedule.n_steps + n_tail
@@ -269,15 +310,24 @@ def make_fused_cfg_episode(
 
     cfg_indicator = bool(getattr(model, "cfg_indicator", False))
 
-    cn_shift, cn_scale, _, _ = _affine_consts(condition_stats, dx)
+    cn_shift, cn_scale, _, _ = _affine_consts(condition_stats, dc)
     _, _, un_shift, un_scale = _affine_consts(inputs_stats, du)
-    flat.append(jnp.asarray(cn_shift.reshape(1, dx))); cns_idx = len(flat) - 1
-    flat.append(jnp.asarray(cn_scale.reshape(1, dx))); cnc_idx = len(flat) - 1
+    flat.append(jnp.asarray(cn_shift.reshape(1, dc))); cns_idx = len(flat) - 1
+    flat.append(jnp.asarray(cn_scale.reshape(1, dc))); cnc_idx = len(flat) - 1
     flat.append(jnp.asarray(un_shift.reshape(1, du))); uns_idx = len(flat) - 1
     flat.append(jnp.asarray(un_scale.reshape(1, du))); unc_idx = len(flat) - 1
 
     q_diag = [float(v) for v in np.asarray(cost.q_diag).reshape(-1)]
     r_diag = list(np.broadcast_to(np.asarray(cost.r, np.float64).reshape(-1), (du,)))
+
+    # in-kernel plant step / context map with captured arrays hoisted onto
+    # the pallas input list (see _kernel_safe_fn)
+    plant_call = _kernel_safe_fn(lambda x, u: plant.step(x, u), flat,
+                                 jnp.zeros((dx,), jnp.float32),
+                                 jnp.zeros((du,), jnp.float32))
+    cond_call = (_kernel_safe_fn(lambda x: state_to_condition(x), flat,
+                                 jnp.zeros((dx,), jnp.float32))
+                 if state_to_condition is not None else None)
 
     rows = horizon  # single-sample rows; the CFG batch doubles to 2*rows
 
@@ -291,9 +341,10 @@ def make_fused_cfg_episode(
         xtr_ref[0] = x0_ref[0]
 
         def replan(step_i, x):
-            ctx = (x - W(cns_idx)) * W(cnc_idx)  # (1, dx)
+            raw = cond_call(W, x[0])[None] if cond_call is not None else x  # (1, dc)
+            ctx = (raw - W(cns_idx)) * W(cnc_idx)  # (1, dc)
             # CFG doubled conditioning rows: [present ctx; dropped (zeros)]
-            ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)  # (2, dx)
+            ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)  # (2, dc)
 
             def denoise(si, u):
                 # u: (rows, d_state)
@@ -332,7 +383,7 @@ def make_fused_cfg_episode(
             u0 = u_seq[0]
             stage = sum(q_diag[i] * x[0, i] * x[0, i] for i in range(dx)) \
                 + sum(r_diag[j] * u0[j] * u0[j] for j in range(du))
-            x_next = plant.step(x[0], u0)[None]
+            x_next = plant_call(W, x[0], u0)[None]
             xtr_ref[step_i + 1] = x_next[0]
             utr_ref[step_i] = u0
             cost_ref[step_i] = jnp.reshape(stage, (1,))

@@ -6,3 +6,4 @@ from .mesh import (
     make_sharded_eval,
 )
 from .tensor_parallel import make_tp_ampc_apply
+from .tp_unet import make_tp_unet_apply

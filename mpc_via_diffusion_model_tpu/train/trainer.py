@@ -26,6 +26,7 @@ import dataclasses
 import os
 import pickle
 import time
+from contextlib import nullcontext as _nullcontext
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -270,6 +271,7 @@ class Trainer:
         summary_fn: Optional[Callable] = None,
         metrics_writer=None,
         chunk_size: int = 1,
+        tracer=None,
     ) -> TrainState:
         """``summary_fn(ema_params, key) -> dict`` runs every
         ``steps_til_summary`` on the EMA model (the reference's
@@ -285,18 +287,24 @@ class Trainer:
         stopper = EarlyStopper(early_stopper_patience)
         t0 = time.time()
         start_step = int(self.state.step)
+        # phase spans to the C++ chrome-trace recorder (native.tracer);
+        # no-op context when no tracer is given
+        span = ((lambda name: tracer.span(name)) if tracer is not None
+                else (lambda name: _nullcontext()))
 
         if chunk_size > 1:
             return self._fit_chunked(
                 dataset, num_train_steps, batch_size, key, val_dataset,
                 steps_til_summary, steps_til_checkpoint, steps_per_validation,
                 stopper, log_fn, summary_fn, metrics_writer, chunk_size, t0, start_step,
+                span,
             )
 
         for it in range(start_step, num_train_steps):
             key, k_batch, k_loss = jax.random.split(key, 3)
             inputs, cond = dataset.batch(k_batch, batch_size)
-            self.state, metrics = self.train_step(self.state, inputs, cond, k_loss)
+            with span("train_step"):
+                self.state, metrics = self.train_step(self.state, inputs, cond, k_loss)
 
             if (it + 1) % steps_til_summary == 0 or it == start_step:
                 train_loss = float(metrics["loss"])
@@ -305,7 +313,8 @@ class Trainer:
                 record = {"train_loss": train_loss}
                 if val_dataset is not None:
                     key, k_val = jax.random.split(key)
-                    val_loss = self.validate(val_dataset, batch_size, steps_per_validation, k_val)
+                    with span("validate"):
+                        val_loss = self.validate(val_dataset, batch_size, steps_per_validation, k_val)
                     self.val_losses.append((it + 1, val_loss))
                     record["val_loss"] = val_loss
                     msg += f" val {val_loss:.6f}"
@@ -314,7 +323,8 @@ class Trainer:
                         break
                 if summary_fn is not None:
                     key, k_sum = jax.random.split(key)
-                    record.update(summary_fn(self.state.ema_params, k_sum))
+                    with span("summary"):
+                        record.update(summary_fn(self.state.ema_params, k_sum))
                 if metrics_writer is not None:
                     metrics_writer.log(record, step=it + 1)
                 msg += f" ({(it + 1 - start_step) / max(time.time() - t0, 1e-9):.1f} steps/s)"
@@ -331,7 +341,9 @@ class Trainer:
         self, dataset, num_train_steps, batch_size, key, val_dataset,
         steps_til_summary, steps_til_checkpoint, steps_per_validation,
         stopper, log_fn, summary_fn, metrics_writer, chunk_size, t0, start_step,
+        span=None,
     ) -> TrainState:
+        span = span or (lambda name: _nullcontext())
         chunk = jax.jit(
             make_scanned_train_steps(self._train_step_raw, chunk_size),
             static_argnums=(4,),
@@ -345,7 +357,8 @@ class Trainer:
         it = start_step
         while it < num_train_steps:
             key, k_chunk = jax.random.split(key)
-            self.state, mean_loss = chunk(self.state, inputs_all, cond_all, k_chunk, batch_size)
+            with span("train_chunk"):
+                self.state, mean_loss = chunk(self.state, inputs_all, cond_all, k_chunk, batch_size)
             it += chunk_size
 
             if crossed(it, steps_til_summary) or it - chunk_size == start_step:
@@ -355,7 +368,8 @@ class Trainer:
                 record = {"train_loss": train_loss}
                 if val_dataset is not None:
                     key, k_val = jax.random.split(key)
-                    val_loss = self.validate(val_dataset, batch_size, steps_per_validation, k_val)
+                    with span("validate"):
+                        val_loss = self.validate(val_dataset, batch_size, steps_per_validation, k_val)
                     self.val_losses.append((it, val_loss))
                     record["val_loss"] = val_loss
                     msg += f" val {val_loss:.6f}"
@@ -364,7 +378,8 @@ class Trainer:
                         break
                 if summary_fn is not None:
                     key, k_sum = jax.random.split(key)
-                    record.update(summary_fn(self.state.ema_params, k_sum))
+                    with span("summary"):
+                        record.update(summary_fn(self.state.ema_params, k_sum))
                 if metrics_writer is not None:
                     metrics_writer.log(record, step=it)
                 msg += f" ({(it - start_step) / max(time.time() - t0, 1e-9):.1f} steps/s)"

@@ -1,0 +1,245 @@
+"""High-dimensional workload benchmarks on TPU (VERDICT r2 #2).
+
+The reference measures Panda per-replan compute time and box-plots it
+(`/root/reference/scripts/Panda/efficiency_plot/box_plot.py:8-48`,
+`inference_diffusion_panda.py:118-123`); every Hz row in BENCH.md so far is
+cart-pole/pendulum. This script measures the two high-dimensional workloads:
+
+- **panda_rbd**: horizon 128, 7 control channels, 20-dim context,
+  cfg_indicator — the one config whose CFG doubled batch (256 stacked rows)
+  actually stresses the fused-episode kernel's VMEM budget
+  (`ops/fused_unet.py` docstring: "B*H <= a few hundred rows").
+- **quadrotor**: horizon 48, 4 channels, 12-dim context — guided (obstacle
+  cost-gradient in the chain) and unguided.
+
+Uses the committed artifacts (real weights + dataset normalizers) when
+present; synthetic weights otherwise (flagged per row). Two timing protocols
+per BENCH.md: pipelined best-of-batches (dispatch pipelining hides the ~31 ms
+relay latency) and sustained (one long episode per dispatch, stable across
+runs). Prints one JSON line per row.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+OBS_CENTERS = np.array([[1.5, 0.0, 1.0], [0.9, 0.9, 1.2], [0.9, -0.9, 0.8]],
+                       np.float32)
+OBS_RADII = np.array([0.45, 0.40, 0.40], np.float32)
+
+
+def _pipelined(run, args_list, n_batches=3):
+    """Best-of-batches pipelined timing (bench.py protocol): issue the whole
+    batch of dispatches back-to-back, block once."""
+    import jax
+    out = run(*args_list[0])
+    jax.block_until_ready(out)
+    dts = []
+    n_rep = len(args_list)
+    for _ in range(n_batches):
+        t0 = time.perf_counter()
+        outs = [run(*a) for a in args_list]
+        jax.block_until_ready(outs)
+        dts.append((time.perf_counter() - t0) / n_rep)
+    return min(dts)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--steps", type=int, default=80)
+    p.add_argument("--sustained-steps", type=int, default=400)
+    p.add_argument("--skip-panda-fused", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mpc_via_diffusion_model_tpu.control import make_closed_loop
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+    from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats, unnormalize
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant, make_panda_context
+    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
+    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.train import load_checkpoint
+
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 25))
+    key = jax.random.PRNGKey(0)
+
+    # ================= panda_rbd: horizon 128, 7ch, 20-dim ctx ============ #
+    plant, cost = get_plant("panda")
+    to_cond = make_panda_context()
+    model = TemporalUnet(state_dim=7, n_support_points=128, unet_input_dim=32,
+                         dim_mults=UNET_DIM_MULTS[0], context_dim=20,
+                         conditioning_type="default", cfg_indicator=True)
+    art = "artifacts/flagship_panda_rbd"
+    real = (os.path.exists(os.path.join(art, "dataset.npz"))
+            and os.path.exists(os.path.join(art, "checkpoints", "final.ckpt")))
+    if real:
+        ds = ControlSequenceDataset.load(os.path.join(art, "dataset.npz"))
+        in_stats = ds.normalizer.stats["inputs"]
+        c_stats = ds.normalizer.stats["condition"]
+        state, _ = load_checkpoint(os.path.join(art, "checkpoints", "final.ckpt"))
+        params = state.ema_params
+    else:
+        in_stats = NormalizerStats("limits", mins=jnp.full((7,), -30.0),
+                                   maxs=jnp.full((7,), 30.0))
+        c_stats = NormalizerStats("limits", mins=jnp.full((20,), -10.0),
+                                  maxs=jnp.full((20,), 10.0))
+        params = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 128, 7)),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 20)),
+                            jnp.zeros((2, 1)))
+    x0_p = jnp.concatenate([jnp.full((7,), 0.3), jnp.zeros(7)])
+
+    # --- XLA fused-loop path (the flagship_run eval protocol) ---
+    loop = jax.jit(make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=128, n_steps=args.steps, w=0.01,
+        n_diffusion_steps_without_noise=5, state_to_condition=to_cond))
+    argsl = [(params, x0_p, jax.random.fold_in(key, i)) for i in range(8)]
+    run = lambda pp, xx, kk: loop(pp, xx, kk).x_track
+    dt = _pipelined(run, argsl)
+    print(json.dumps({"metric": "panda_rbd_closed_loop_hz_xla",
+                      "value": round(args.steps / dt, 1), "unit": "Hz",
+                      "real_weights": real,
+                      "config": "H=128 ch=7 ctx=20 CFG 25+5"}), flush=True)
+
+    # --- sustained: one long receding-horizon episode per dispatch ---
+    loop_l = jax.jit(make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=128, n_steps=args.sustained_steps, w=0.01,
+        n_diffusion_steps_without_noise=5, state_to_condition=to_cond))
+    jax.block_until_ready(loop_l(params, x0_p, key).x_track)
+    reps = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop_l(params, x0_p, jax.random.fold_in(key, r)).x_track)
+        reps.append(time.perf_counter() - t0)
+    print(json.dumps({"metric": "panda_rbd_sustained_hz_xla",
+                      "value": round(args.sustained_steps / min(reps), 1),
+                      "unit": "Hz", "real_weights": real}), flush=True)
+
+    # --- fused whole-episode Pallas kernel (256 CFG rows), fp32 + bf16 ---
+    # The panda plant's RNE step and the 20-dim FK context run IN-kernel;
+    # if Mosaic rejects the kernel or VMEM overflows, the row reports the
+    # failure instead of a number (the budget that excludes it).
+    if not args.skip_panda_fused:
+        from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_cfg_episode
+        for wd, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+            try:
+                ep = jax.jit(make_fused_cfg_episode(
+                    model, params, diffusion.schedule, in_stats, c_stats,
+                    plant, cost, n_steps=args.steps, w=0.01,
+                    n_diffusion_steps_without_noise=5, weights_dtype=wd,
+                    state_to_condition=to_cond))
+                jax.block_until_ready(ep(x0_p, key))
+                argse = [(x0_p, jax.random.fold_in(key, 10 + i)) for i in range(8)]
+                dt = _pipelined(ep, argse)
+                print(json.dumps({
+                    "metric": f"panda_rbd_fused_episode_hz_{tag}",
+                    "value": round(args.steps / dt, 1), "unit": "Hz",
+                    "real_weights": real}), flush=True)
+            except Exception as e:  # noqa: BLE001 — report the budget breach
+                print(json.dumps({
+                    "metric": f"panda_rbd_fused_episode_hz_{tag}",
+                    "value": None, "unit": "Hz",
+                    "error": f"{type(e).__name__}: {str(e)[:300]}"}), flush=True)
+
+    # ================= quadrotor: horizon 48, 4ch, 12-dim ctx ============ #
+    qplant, quad_cost = get_plant("quadrotor")
+    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+    m_hover = 9.81
+
+    class TaskCost:
+        @staticmethod
+        def stage(x, u):
+            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
+            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
+                    + obstacle_cost(x[None], centers, radii))
+
+        @staticmethod
+        def terminal(x):
+            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
+
+    qmodel = TemporalUnet(state_dim=4, n_support_points=48, unet_input_dim=32,
+                          dim_mults=UNET_DIM_MULTS[0], context_dim=12,
+                          conditioning_type="default", cfg_indicator=True)
+    qart = "artifacts/flagship_quadrotor"
+    qreal = (os.path.exists(os.path.join(qart, "dataset.npz"))
+             and os.path.exists(os.path.join(qart, "ema_params.pkl")))
+    if qreal:
+        qds = ControlSequenceDataset.load(os.path.join(qart, "dataset.npz"))
+        q_in, q_c = qds.normalizer.stats["inputs"], qds.normalizer.stats["condition"]
+        with open(os.path.join(qart, "ema_params.pkl"), "rb") as f:
+            qparams = pickle.load(f)
+    else:
+        q_in = NormalizerStats("limits", mins=jnp.full((4,), -5.0),
+                               maxs=jnp.full((4,), 15.0))
+        q_c = NormalizerStats("limits", mins=jnp.full((12,), -5.0),
+                              maxs=jnp.full((12,), 5.0))
+        qparams = qmodel.init(jax.random.PRNGKey(2), jnp.zeros((2, 48, 4)),
+                              jnp.zeros((2,), jnp.int32), jnp.zeros((2, 12)),
+                              jnp.zeros((2, 1)))
+    x0_q = jnp.asarray(np.array([2.6, 0.5, 1.0] + [0.0] * 9, np.float32))
+
+    def guide_builder(x0):
+        def penalty(u_norm):
+            u_seq = unnormalize(q_in, u_norm)
+            states = rollout(qplant, x0, u_seq, unroll=len(u_seq))
+            return jnp.sum(obstacle_cost(states, centers, radii))
+        grad_fn = jax.grad(penalty)
+
+        def guide(u_norm_batch):
+            g = jax.vmap(grad_fn)(u_norm_batch)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            return -0.1 * jnp.clip(g, -1.0, 1.0)
+        return guide
+
+    for guided, tag in ((False, "unguided"), (True, "guided")):
+        qloop = jax.jit(make_closed_loop(
+            diffusion, qmodel.apply, q_in, q_c, qplant, TaskCost(),
+            horizon=48, n_steps=60, w=0.01, n_diffusion_steps_without_noise=5,
+            guide_builder=guide_builder if guided else None,
+            n_guide_steps=1, t_start_guide=12.5))
+        argsq = [(qparams, x0_q, jax.random.fold_in(key, 20 + i)) for i in range(8)]
+        runq = lambda pp, xx, kk: qloop(pp, xx, kk).x_track
+        dt = _pipelined(runq, argsq)
+        print(json.dumps({"metric": f"quadrotor_closed_loop_hz_{tag}",
+                          "value": round(60 / dt, 1), "unit": "Hz",
+                          "real_weights": qreal,
+                          "config": "H=48 ch=4 ctx=12 CFG 25+5"}), flush=True)
+
+    # sustained quadrotor (guided — the flagship configuration)
+    qloop_l = jax.jit(make_closed_loop(
+        diffusion, qmodel.apply, q_in, q_c, qplant, TaskCost(),
+        horizon=48, n_steps=args.sustained_steps, w=0.01,
+        n_diffusion_steps_without_noise=5,
+        guide_builder=guide_builder, n_guide_steps=1, t_start_guide=12.5))
+    jax.block_until_ready(qloop_l(qparams, x0_q, key).x_track)
+    reps = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(qloop_l(qparams, x0_q, jax.random.fold_in(key, r)).x_track)
+        reps.append(time.perf_counter() - t0)
+    print(json.dumps({"metric": "quadrotor_sustained_hz_guided",
+                      "value": round(args.sustained_steps / min(reps), 1),
+                      "unit": "Hz", "real_weights": qreal}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

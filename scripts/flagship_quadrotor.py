@@ -212,7 +212,7 @@ def main():
 
         def penalty(u_norm):
             u_seq = unnormalize(u_stats, u_norm)  # (H, 4)
-            states = rollout(plant, x0, u_seq)
+            states = rollout(plant, x0, u_seq, unroll=len(u_seq))
             return jnp.sum(obstacle_cost(states, centers, radii))
 
         grad_fn = jax.grad(penalty)

@@ -63,6 +63,10 @@ def main():
     )
 
     os.makedirs(args.out, exist_ok=True)
+    # phase-level chrome-trace spans (C++ ring-buffer recorder); dumped to
+    # <out>/trace.json at the end — load in chrome://tracing / Perfetto
+    from mpc_via_diffusion_model_tpu.native.tracer import Tracer
+    tracer = Tracer()
     plant_name = {"cartpole": "cartpole_virtual_swingup", "acrobot": "acrobot",
                   "panda": "panda_surrogate", "panda_rbd": "panda"}[args.plant]
     plant, cost = get_plant(plant_name)
@@ -90,6 +94,7 @@ def main():
     ).to_yaml(os.path.join(args.out, "args.yaml"))
 
     # ---------------- 1) expert data (on device) ----------------
+    tracer.begin("collect")
     t0 = time.time()
     if args.plant == "cartpole":
         grid = make_initial_state_grid(
@@ -165,7 +170,9 @@ def main():
               f"({n_solves / t_collect:.0f} iLQR solves/s)", flush=True)
         ds.save(ds_path)
 
+    tracer.end()
     # ---------------- 2) train (scanned chunks) ----------------
+    tracer.begin("train")
     model = TemporalUnet(
         state_dim=control_dim, n_support_points=args.horizon, unet_input_dim=32,
         dim_mults=UNET_DIM_MULTS[0], context_dim=cond_dim, conditioning_type="default",
@@ -210,7 +217,9 @@ def main():
         save_checkpoint(ckpt_path, state, extra={"losses": losses})
         np.save(os.path.join(args.out, "train_losses.npy"), np.asarray(losses))
 
+    tracer.end()
     # ---------------- 3) closed-loop evaluation ----------------
+    tracer.begin("evaluate")
     loop = jax.jit(make_closed_loop(
         diffusion, model.apply, ds.normalizer.stats["inputs"],
         ds.normalizer.stats["condition"], plant, cost,
@@ -298,6 +307,8 @@ def main():
     }
     if cross_check is not None:
         report["expert_cross_check"] = cross_check
+    tracer.end()
+    tracer.dump(os.path.join(args.out, "trace.json"))
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2), flush=True)

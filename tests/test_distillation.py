@@ -163,3 +163,44 @@ def test_affine_coefs_final_step_is_recon():
     # student C1 coefficients are safely away from zero (divide-by-C1 in the
     # distill target stays conditioned)
     assert np.all(np.abs(C["c1"][:-1]) > 1e-3)
+
+
+def test_distill_guide_hook_gating():
+    """The guided-distillation hook (VERDICT r2 #3): a guide_fn shifts the
+    teacher targets (loss differs from unguided), gating with
+    t_start_guide=-1 disables every sub-step (loss identical to unguided),
+    and the guided loss stays finite."""
+    model, params = _tiny_model()
+    schedule = make_schedule("exponential", 10)
+    # skip the degenerate abar~1e-12 endpoint (ddim_time_grid's t_start
+    # rationale): at t=9 the teacher recon clip saturates for every element
+    # and a post-step guide delta would be invisible to the target
+    teacher_times = list(range(8, -1, -1))
+    optimizer = make_optimizer(lr=1e-3)
+
+    def guide(x_batch, ctx_batch):
+        # deterministic nonzero delta, a stand-in for the obstacle gradient
+        return 0.05 * jnp.tanh(x_batch) * (1.0 + 0.0 * ctx_batch.sum())
+
+    mk = lambda **kw: make_distill_step(
+        schedule, model.apply, optimizer, params, teacher_times,
+        w=0.1, teacher_cfg=True, **kw)[0]
+    step_plain = jax.jit(mk())
+    step_guided = jax.jit(mk(guide_fn=guide, t_start_guide=float("inf")))
+    step_gated_off = jax.jit(mk(guide_fn=guide, t_start_guide=-1.0))
+
+    rng = np.random.RandomState(5)
+    x0 = jnp.asarray(rng.randn(16, 8, 1), jnp.float32).clip(-1, 1)
+    ctx = jnp.asarray(rng.randn(16, 3), jnp.float32)
+    state = TrainState(
+        params=params, ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params), step=jnp.int32(0))
+    key = jax.random.PRNGKey(4)
+
+    _, m_plain = step_plain(state, x0, ctx, key)
+    _, m_guided = step_guided(state, x0, ctx, key)
+    _, m_off = step_gated_off(state, x0, ctx, key)
+    l_plain, l_guided, l_off = (float(m["loss"]) for m in (m_plain, m_guided, m_off))
+    assert np.isfinite(l_guided)
+    assert abs(l_off - l_plain) < 1e-6, "t_start_guide=-1 must be a no-op"
+    assert abs(l_guided - l_plain) > 1e-6, "guide must shift the targets"

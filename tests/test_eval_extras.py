@@ -111,3 +111,31 @@ def test_ddim_closed_loop():
     r = jax.jit(loop)(params, jnp.array([1.0, 0.0]), jax.random.PRNGKey(1))
     assert r.u_track.shape == (5, 1)
     assert np.all(np.isfinite(np.asarray(r.x_track)))
+
+
+def test_trajectory_summary_image_logging(tmp_path):
+    """The reference's wandb joint-space render
+    (summary_trajectory_generation.py:60-84): with an image_writer the
+    summary also emits a rendered figure (PNG under log_dir/images; wandb
+    when live)."""
+    from mpc_via_diffusion_model_tpu.data.trajectories import TrajectoryDataset
+    from mpc_via_diffusion_model_tpu.envs import ENV_SIMPLE_2D
+    from mpc_via_diffusion_model_tpu.eval import make_trajectory_summary
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet
+
+    rng = np.random.RandomState(0)
+    trajs = rng.uniform(-0.9, 0.9, (12, 16, 2)).astype(np.float32)
+    ds = TrajectoryDataset.from_arrays(trajs, env=ENV_SIMPLE_2D)
+    model = TemporalUnet(state_dim=2, n_support_points=16, unet_input_dim=8,
+                         dim_mults=(1, 2), conditioning_type=None)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 2)),
+                        jnp.zeros((1,), jnp.int32))
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 4))
+    with MetricsWriter(log_dir=str(tmp_path)) as w:
+        summary = make_trajectory_summary(
+            diffusion, model.apply, ds, n_samples=4,
+            n_diffusion_steps_without_noise=1, image_writer=w)
+        out = summary(params, jax.random.PRNGKey(1))
+    assert "fraction_free" in out
+    imgs = os.listdir(os.path.join(str(tmp_path), "images"))
+    assert len(imgs) == 1 and imgs[0].endswith(".png")

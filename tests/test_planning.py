@@ -228,3 +228,32 @@ def test_quadrotor_obstacle_guidance():
         x = x + guide(x)
     c1 = float(obstacle_cost(x, centers, radii)[0])
     assert c1 < c0
+
+
+def test_se3_orientation_goal_guide():
+    """SE3 orientation-goal reward (reference GuideSE3OrientationGoal,
+    guides.py:522-564): zero at a config whose EE rotation IS the target,
+    negative elsewhere, and differentiable through the FK chain."""
+    import jax
+    from mpc_via_diffusion_model_tpu.diffusion import se3_orientation_goal_guide
+    from mpc_via_diffusion_model_tpu.dynamics.arm import panda_link_transforms
+
+    q0 = jnp.asarray(np.zeros(7), jnp.float32)
+    rot_des = panda_link_transforms(q0)[-1][0]  # EE rotation at q0
+    reward = se3_orientation_goal_guide(rot_des)
+
+    x_goal = jnp.tile(q0, (2, 4, 1))  # (B=2, H=4, 7) all at the goal rotation
+    r_goal = reward(x_goal)
+    assert r_goal.shape == (2,)
+    # arccos clip keeps a 1e-6 floor; "zero" means ~1e-3 per waypoint
+    assert float(jnp.max(jnp.abs(r_goal))) < 0.05
+
+    rng = np.random.RandomState(0)
+    x_off = jnp.asarray(rng.uniform(-1, 1, (2, 4, 7)), jnp.float32)
+    r_off = reward(x_off)
+    assert bool(jnp.all(r_off < r_goal - 0.1)), "off-goal configs must score worse"
+
+    g = jax.grad(lambda x: jnp.sum(reward(x)))(x_off)
+    assert g.shape == x_off.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
