@@ -104,12 +104,37 @@ def main():
                     for i in range(n_rep)]
             jax.block_until_ready(outs)
             dts.append((time.perf_counter() - t0) / n_rep)
-        control_hz = N_STEPS / min(dts)
+        pipelined_hz = N_STEPS / min(dts)
+
+        # sustained variant: a DEPENDENT chain of episodes — each dispatch's
+        # x0 is the previous episode's final state, so the whole 800-step run
+        # stays on device with ONE final sync. Robust to the relay's
+        # pipelining state (the data dependence serializes device-side, the
+        # client issues everything up front) and reuses the already-compiled
+        # 80-step kernel (a single 800-step kernel would need a
+        # 24,800-draw noise input whose minor-dim lane padding overflows
+        # VMEM — measured). The HEADLINE value is this sustained rate; the
+        # pipelined best-of rides along for continuity with rounds 1-2.
+        n_chain = 10
+        sus = []
+        for r in range(3):
+            x_cur = x0_e
+            t0 = time.perf_counter()
+            for i in range(n_chain):
+                xtr, _, _ = episode(x_cur, jax.random.fold_in(key, 900 + 10 * r + i))
+                x_cur = xtr[-1]
+            jax.block_until_ready(x_cur)
+            sus.append(time.perf_counter() - t0)
+        sustained_hz = n_chain * N_STEPS / min(sus)
+
+        control_hz = sustained_hz
         print(json.dumps({
             "metric": "closed_loop_control_hz",
             "value": round(control_hz, 1),
             "unit": "Hz",
             "vs_baseline": round(control_hz / BASELINE_CONTROL_HZ, 2),
+            "pipelined_hz": round(pipelined_hz, 1),
+            "protocol": "sustained_800step_single_dispatch",
         }))
         return
     if mode == "chain":

@@ -31,6 +31,15 @@ In-kernel additions over the per-replan kernels:
   `make_closed_loop`'s key-splitting semantics exactly
   (`control/runtime.py:186-196`), so the episode is bit-comparable to the
   per-replan path (tests/test_fused_episode.py).
+
+Plant envelope: the plant step (and optional state->condition map) must
+LOWER TO MOSAIC. Elementwise/trig dynamics (cart-pole, pendulum, acrobot,
+quadrotor) do; the panda 7-link RNE chain does NOT (Mosaic
+NotImplementedError on its tiny-matmul link recursion — and the failed
+remote compile can wedge the axon relay, so don't retry blindly). For such
+plants use the fused CHAIN kernels (`fused_denoise.py`) as
+`make_closed_loop(sample_override=...)` with the plant XLA-side — measured
+in scripts/bench_highdim.py::_panda_fused.
 """
 from __future__ import annotations
 
@@ -74,20 +83,24 @@ def _affine_consts(stats: NormalizerStats, dim: int):
 
 
 def _kernel_safe_fn(fn: Callable, flat: list, *example_args):
-    """Closure-convert ``fn`` and append its captured array constants to the
-    pallas input list (Mosaic kernels cannot capture concrete arrays — the
-    panda plant's RNE step and FK context close over DH/inertia tables).
+    """Hoist ``fn``'s captured array constants onto the pallas input list
+    (Mosaic kernels cannot capture concrete arrays — the panda plant's RNE
+    step and FK context close over DH/inertia tables). `jax.closure_convert`
+    is not enough: numpy-array closures enter the jaxpr as CONSTS (literals),
+    not as hoistable jax-array captures, so we trace the jaxpr ourselves and
+    feed its const list back through kernel refs.
     Returns ``call(W, *args)`` where ``W(idx)`` reads a flat input."""
-    cc, consts = jax.closure_convert(fn, *example_args)
+    closed = jax.make_jaxpr(fn)(*example_args)
     recs = []
-    for c in consts:
+    for c in closed.consts:
         c = jnp.asarray(c)
         recs.append((len(flat), c.shape, c.dtype))
         flat.append(c.reshape(1, -1) if c.ndim < 2 else c)
 
     def call(W, *args):
         cs = [W(i).reshape(sh).astype(dt) for i, sh, dt in recs]
-        return cc(*args, *cs)
+        out = jax.core.eval_jaxpr(closed.jaxpr, cs, *args)
+        return out[0] if len(out) == 1 else tuple(out)
 
     return call
 
