@@ -1,0 +1,171 @@
+"""Whole-episode Pallas kernel for the GUIDED-distilled quadrotor student.
+
+The quadrotor's rigid-body step is elementwise/trig math, so (unlike the
+panda RNE chain — see ops/fused_episode.py plant envelope note) the full
+closed loop lowers to Mosaic: 60 replans x 3-eval conditional DDIM chain of
+the 12-state quadrotor in ONE kernel. The student comes from
+`scripts/distill_quadrotor.py --guided` (obstacle guide baked into the
+weights via the context — VERDICT r2 #3), so this is GUIDED collision-
+avoidance behavior at distilled-student speed; the reference's guided
+planner pays a full autodiff rollout per denoise step at sampling time
+(`inference_(mpd).py:254-298`).
+
+Protocol (BENCH.md "protocol note"): pipelined best-of-batches + sustained
+dependent chain (each episode's x0 is the previous final state, one sync).
+Collision metrics are computed host-side from x_track; the in-kernel stage
+cost is the base quadratic (the obstacle penalty is a metric, not a cost
+the kernel needs).
+
+Prints one JSON row per measurement; writes <student-dir>/bench.json.
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+from flagship_quadrotor import OBS_CENTERS, OBS_RADII
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--student-dir", default="artifacts/distilled_quadrotor_guided")
+    p.add_argument("--teacher", default="artifacts/flagship_quadrotor")
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--eval-starts", type=int, default=16)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mpc_via_diffusion_model_tpu.control import make_closed_loop
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+    from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
+    from mpc_via_diffusion_model_tpu.diffusion.distillation import (
+        make_student_ddim_sampler,
+    )
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_ddim_episode
+
+    plant, quad_cost = get_plant("quadrotor")
+    report = json.load(open(os.path.join(args.student_dir, "report.json")))
+    times = report["rounds"][-1]["times"]
+    with open(os.path.join(args.student_dir,
+                           f"student_{len(times)}eval.pkl"), "rb") as f:
+        student = pickle.load(f)
+    ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
+    in_stats = ds.normalizer.stats["inputs"]
+    c_stats = ds.normalizer.stats["condition"]
+
+    model = TemporalUnet(state_dim=4, n_support_points=48, unet_input_dim=32,
+                         dim_mults=UNET_DIM_MULTS[0], context_dim=12,
+                         conditioning_type="default", cfg_indicator=True)
+    schedule = make_schedule("exponential", 25)
+    diffusion = GaussianDiffusion(schedule=schedule)
+
+    # the flagship's held-out eval starts (distill_quadrotor.py seeding)
+    e_rng = np.random.RandomState(7)
+    ev = np.zeros((args.eval_starts, 12), np.float32)
+    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
+    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
+    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
+    ev_j = jnp.asarray(ev)
+    ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
+
+    def collision_metrics(x_tracks):
+        xt = np.asarray(x_tracks)
+        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
+        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))
+        goal = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
+        return {"collision_free_fraction": float((clearance > 0).mean()),
+                "goal_reach_fraction_0.5": float((goal < 0.5).mean())}
+
+    out = {"times": [int(t) for t in times], "n_steps": args.steps}
+
+    # ---- XLA path (the distill eval protocol) ----
+    sampler = make_student_ddim_sampler(schedule, model.apply, times)
+    override = lambda ctx, key: sampler(student, ctx, key, (1, 48, 4))
+    loop = jax.jit(make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, quad_cost,
+        horizon=48, n_steps=args.steps, sample_override=override))
+    runs = jax.jit(jax.vmap(lambda x0, k: loop(student, x0, k)))(ev_j, ks)
+    xla_tracks = np.asarray(runs.x_track)
+    out["xla"] = collision_metrics(xla_tracks)
+    run1 = lambda xx, kk: loop(student, xx, kk).x_track
+    jax.block_until_ready(run1(ev_j[0], ks[0]))
+    key = jax.random.PRNGKey(3)
+    argsx = [(ev_j[i % args.eval_starts], jax.random.fold_in(key, i))
+             for i in range(8)]
+    dts = []
+    for b in range(3):
+        t0 = time.perf_counter()
+        outs = [run1(*a) for a in argsx]
+        jax.block_until_ready(outs)
+        dts.append((time.perf_counter() - t0) / len(argsx))
+    out["xla_hz_pipelined"] = round(args.steps / min(dts), 1)
+    print(json.dumps({"metric": "quadrotor_student_xla_hz",
+                      "value": out["xla_hz_pipelined"], "unit": "Hz",
+                      **out["xla"]}), flush=True)
+
+    # ---- whole-episode Pallas kernel ----
+    episode = jax.jit(make_fused_ddim_episode(
+        model, student, schedule, times, in_stats, c_stats, plant, quad_cost,
+        n_steps=args.steps))
+    xtr, _, _ = episode(ev_j[0], ks[0])
+    # parity vs the XLA loop on the same start/key (docstring: step-for-step)
+    err = float(np.max(np.abs(np.asarray(xtr) - xla_tracks[0])))
+    out["episode_vs_xla_max_err"] = err
+
+    ep_tracks = np.stack([np.asarray(episode(ev_j[i], ks[i])[0])
+                          for i in range(args.eval_starts)])
+    out["episode"] = collision_metrics(ep_tracks)
+
+    argse = [(ev_j[i % args.eval_starts], jax.random.fold_in(key, 100 + i))
+             for i in range(8)]
+    dts = []
+    for b in range(3):
+        t0 = time.perf_counter()
+        outs = [episode(*a)[0] for a in argse]
+        jax.block_until_ready(outs)
+        dts.append((time.perf_counter() - t0) / len(argse))
+    out["episode_hz_pipelined"] = round(args.steps / min(dts), 1)
+
+    # sustained: dependent chain, one sync (bench.py headline protocol)
+    n_chain = 10
+    sus = []
+    for r in range(3):
+        x_cur = ev_j[0]
+        t0 = time.perf_counter()
+        for i in range(n_chain):
+            xtr, _, _ = episode(x_cur, jax.random.fold_in(key, 900 + 10 * r + i))
+            x_cur = xtr[-1]
+        jax.block_until_ready(x_cur)
+        sus.append(time.perf_counter() - t0)
+    out["episode_hz_sustained"] = round(n_chain * args.steps / min(sus), 1)
+
+    print(json.dumps({"metric": "quadrotor_student_fused_episode_hz",
+                      "value": out["episode_hz_pipelined"], "unit": "Hz",
+                      "sustained": out["episode_hz_sustained"],
+                      "max_err_vs_xla": err, **out["episode"]}), flush=True)
+
+    with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
