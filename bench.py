@@ -134,7 +134,9 @@ def main():
             "unit": "Hz",
             "vs_baseline": round(control_hz / BASELINE_CONTROL_HZ, 2),
             "pipelined_hz": round(pipelined_hz, 1),
-            "protocol": "sustained_800step_single_dispatch",
+            # 10 dependent 80-step episode dispatches (x0 chained), one final
+            # sync — NOT a single 800-step kernel (VMEM, see comment above)
+            "protocol": "sustained_800step_dependent_chain",
         }))
         return
     if mode == "chain":

@@ -1,3 +1,3 @@
-from .timing import time_fn, Timer
+from .timing import pipelined_time_fn, time_fn, Timer
 from .planning_metrics import planning_metrics, get_best_index
 from .summaries import MetricsWriter, make_trajectory_summary

@@ -86,15 +86,18 @@ def make_trajectory_summary(
     n_diffusion_steps_without_noise: int = 5,
     image_writer: Optional["MetricsWriter"] = None,
 ):
-    """Build ``summary(params, key) -> dict`` sampling n trajectories for a
-    random dataset task and scoring them (reference
+    """Build ``summary(params, key, step=None) -> dict`` sampling n
+    trajectories for a random dataset task and scoring them (reference
     `summary_trajectory_generation.py:16-97`).
 
     With ``image_writer`` the sampled trajectories are ALSO rendered over the
-    planning env (best-collision-free highlighted) and logged via
+    planning env (shortest collision-free one highlighted) and logged via
     `MetricsWriter.log_image` — the reference's wandb joint-space render
-    (`summary_trajectory_generation.py:60-84`)."""
-    from ..eval.planning_metrics import planning_metrics
+    (`summary_trajectory_generation.py:60-84`). ``step`` is the TRAINING step
+    (Trainer.fit passes it): wandb requires logged steps to be monotonic
+    across metrics and images, so images must carry the same step axis as the
+    scalar metrics. A call counter is only the fallback for direct calls."""
+    from ..eval.planning_metrics import get_best_index, planning_metrics
 
     horizon = dataset.n_support_points
     d = dataset.state_dim
@@ -110,7 +113,7 @@ def make_trajectory_summary(
 
     n_calls = [0]
 
-    def summary(params, key) -> Dict[str, float]:
+    def summary(params, key, step: Optional[int] = None) -> Dict[str, float]:
         k_task, k_sample = jax.random.split(key)
         idx = int(jax.random.randint(k_task, (), 0, len(dataset)))
         start = dataset.trajs[idx, 0]
@@ -129,8 +132,11 @@ def make_trajectory_summary(
             import matplotlib.pyplot as plt
             from .plotting import plot_planning_env
 
-            fig = plot_planning_env(dataset.env, np.asarray(trajs))
-            image_writer.log_image("sampled_trajectories", fig, step=n_calls[0])
+            fig = plot_planning_env(dataset.env, np.asarray(trajs),
+                                    best_idx=get_best_index(dataset.env, trajs))
+            image_writer.log_image(
+                "sampled_trajectories", fig,
+                step=step if step is not None else n_calls[0])
             plt.close(fig)
         return metrics
 

@@ -19,7 +19,7 @@ from typing import Callable, Dict
 import jax
 import numpy as np
 
-__all__ = ["time_fn", "Timer"]
+__all__ = ["time_fn", "pipelined_time_fn", "Timer"]
 
 
 def time_fn(fn: Callable, *args, n_warmup: int = 1, n_repeat: int = 5) -> Dict[str, float]:
@@ -41,6 +41,28 @@ def time_fn(fn: Callable, *args, n_warmup: int = 1, n_repeat: int = 5) -> Dict[s
         "min_s": float(arr.min()),
         "n": n_repeat,
     }
+
+
+def pipelined_time_fn(fn, args_list, n_batches: int = 3) -> float:
+    """Best-of-batches pipelined timing (BENCH.md's protocol): issue the
+    whole ``args_list`` batch of dispatches back-to-back, block ONCE, divide
+    by the batch size; return the best batch's seconds-per-call.
+
+    This is the one shared definition of the pipelined measurement loop —
+    bench_kernels / bench_highdim / bench_quadrotor_student / distill_panda
+    all time through it so their numbers stay comparable. Per-call
+    block_until_ready would charge every call the relay's ~31 ms dispatch
+    latency; pipelining hides it (see BENCH.md's protocol note on its
+    run-to-run variance, which is why best-of-batches is taken)."""
+    out = fn(*args_list[0])  # warmup / compile
+    jax.block_until_ready(out)
+    dts = []
+    for _ in range(n_batches):
+        t0 = time.perf_counter()
+        outs = [fn(*a) for a in args_list]
+        jax.block_until_ready(outs)
+        dts.append((time.perf_counter() - t0) / len(args_list))
+    return min(dts)
 
 
 class Timer:

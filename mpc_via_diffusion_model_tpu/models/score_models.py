@@ -18,7 +18,7 @@ the reference this family is DEAD CODE — it imports
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -201,10 +201,15 @@ class SDFScoreMLP(nn.Module):
     act: str = "mish"
     sigma_min: float = 0.01
     sigma_max: float = 50.0
-    sdf_fn: Callable = None
+    sdf_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, t, env_feat, task_feat):
+        if self.use_sdf_value and self.sdf_fn is None:
+            raise ValueError(
+                "SDFScoreMLP(use_sdf_value=True) needs an environment SDF: "
+                "pass sdf_fn=env.sdf (e.g. envs.planning2d.PlanningEnv2D.sdf)"
+                " or construct with use_sdf_value=False")
         act = ACTIVATIONS[self.act]
         b = x.shape[0]
         emb = act(nn.Dense(self.embed_dim)(GaussianFourierFeatures(self.embed_dim)(t)))

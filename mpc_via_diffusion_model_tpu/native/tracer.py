@@ -54,6 +54,8 @@ class Tracer:
     def __init__(self, capacity: int = 1 << 16):
         self._lib = _load()
         self._h = self._lib.tracer_create(capacity)
+        self._stack = []  # open begin()/end() phase spans (LIFO)
+        self._dumped = False
 
     def __del__(self):
         try:
@@ -76,11 +78,11 @@ class Tracer:
         """Explicit begin/end phase pair — for spans over code that a `with`
         block cannot wrap cleanly (e.g. flagship_run's collect/train/eval
         phases). LIFO-nested like chrome-trace expects."""
-        if not hasattr(self, "_stack"):
-            self._stack = []
         self._stack.append((name, self._lib.tracer_now_ns(self._h)))
 
     def end(self) -> None:
+        if not self._stack:
+            raise RuntimeError("Tracer.end() without a matching begin()")
         name, t0 = self._stack.pop()
         t1 = self._lib.tracer_now_ns(self._h)
         self._lib.tracer_span(self._h, name.encode(), t0, t1 - t0)
@@ -92,6 +94,26 @@ class Tracer:
         return int(self._lib.tracer_count(self._h))
 
     def dump(self, path: str) -> None:
+        # close any still-open begin() phases first (truncated at now) so a
+        # dump from an error path still shows the phase that was running
+        while self._stack:
+            self.end()
         rc = self._lib.tracer_dump(self._h, path.encode())
         if rc != 0:
             raise IOError(f"tracer_dump failed ({rc}) for {path}")
+        self._dumped = True
+
+    def dump_at_exit(self, path: str) -> None:
+        """Register an atexit dump so a crash mid-run still leaves a loadable
+        trace (open phases are closed at crash time). A later explicit
+        `dump()` wins — the handler is then a no-op."""
+        import atexit
+
+        def _handler():
+            if not self._dumped and self._h:
+                try:
+                    self.dump(path)
+                except Exception:
+                    pass  # never mask the original error at interpreter exit
+
+        atexit.register(_handler)

@@ -23,6 +23,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import os
 import pickle
 import time
@@ -54,6 +55,23 @@ jax.tree_util.register_pytree_node(
     lambda s: ((s.params, s.ema_params, s.opt_state, s.step), None),
     lambda _, leaves: TrainState(*leaves),
 )
+
+
+def _call_summary(summary_fn, params, key, step):
+    """Invoke a summary hook, passing the TRAINING step when it accepts one
+    (wandb drops any log whose step is below the last one seen, so images
+    logged from inside a summary must share the scalar metrics' step axis);
+    plain ``fn(params, key)`` hooks keep working unchanged."""
+    try:
+        sig = inspect.signature(summary_fn)
+    except (TypeError, ValueError):
+        return summary_fn(params, key)
+    params_ = sig.parameters
+    accepts_step = "step" in params_ or any(
+        p.kind == inspect.Parameter.VAR_KEYWORD for p in params_.values())
+    if accepts_step:
+        return summary_fn(params, key, step=step)
+    return summary_fn(params, key)
 
 
 class EarlyStopper:
@@ -324,7 +342,8 @@ class Trainer:
                 if summary_fn is not None:
                     key, k_sum = jax.random.split(key)
                     with span("summary"):
-                        record.update(summary_fn(self.state.ema_params, k_sum))
+                        record.update(_call_summary(
+                            summary_fn, self.state.ema_params, k_sum, it + 1))
                 if metrics_writer is not None:
                     metrics_writer.log(record, step=it + 1)
                 msg += f" ({(it + 1 - start_step) / max(time.time() - t0, 1e-9):.1f} steps/s)"
@@ -379,7 +398,8 @@ class Trainer:
                 if summary_fn is not None:
                     key, k_sum = jax.random.split(key)
                     with span("summary"):
-                        record.update(summary_fn(self.state.ema_params, k_sum))
+                        record.update(_call_summary(
+                            summary_fn, self.state.ema_params, k_sum, it))
                 if metrics_writer is not None:
                     metrics_writer.log(record, step=it)
                 msg += f" ({(it - start_step) / max(time.time() - t0, 1e-9):.1f} steps/s)"

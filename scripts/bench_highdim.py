@@ -33,25 +33,16 @@ import time
 
 import numpy as np
 
-OBS_CENTERS = np.array([[1.5, 0.0, 1.0], [0.9, 0.9, 1.2], [0.9, -0.9, 0.8]],
-                       np.float32)
-OBS_RADII = np.array([0.45, 0.40, 0.40], np.float32)
+# obstacle layout / task cost / guide shared with every quadrotor script
+from quadrotor_task import make_loop_guide_builder, make_task_cost
 
 
 def _pipelined(run, args_list, n_batches=3):
-    """Best-of-batches pipelined timing (bench.py protocol): issue the whole
-    batch of dispatches back-to-back, block once."""
-    import jax
-    out = run(*args_list[0])
-    jax.block_until_ready(out)
-    dts = []
-    n_rep = len(args_list)
-    for _ in range(n_batches):
-        t0 = time.perf_counter()
-        outs = [run(*a) for a in args_list]
-        jax.block_until_ready(outs)
-        dts.append((time.perf_counter() - t0) / n_rep)
-    return min(dts)
+    """Best-of-batches pipelined timing — the ONE shared protocol
+    (`eval.timing.pipelined_time_fn`); imported lazily so the caller's
+    `--cpu` platform selection still precedes any backend use."""
+    from mpc_via_diffusion_model_tpu.eval.timing import pipelined_time_fn
+    return pipelined_time_fn(run, args_list, n_batches)
 
 
 def _panda_fused(args, jax, jnp, model, params, diffusion, in_stats, c_stats,
@@ -110,11 +101,9 @@ def main():
     from mpc_via_diffusion_model_tpu.control import make_closed_loop
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
-    from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats, unnormalize
+    from mpc_via_diffusion_model_tpu.data.normalization import NormalizerStats
     from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
     from mpc_via_diffusion_model_tpu.dynamics import get_plant, make_panda_context
-    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
     from mpc_via_diffusion_model_tpu.train import load_checkpoint
 
@@ -189,19 +178,7 @@ def main():
 
     # ================= quadrotor: horizon 48, 4ch, 12-dim ctx ============ #
     qplant, quad_cost = get_plant("quadrotor")
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-    m_hover = 9.81
-
-    class TaskCost:
-        @staticmethod
-        def stage(x, u):
-            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
-            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii))
-
-        @staticmethod
-        def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
+    qtask_cost = make_task_cost(quad_cost)
 
     qmodel = TemporalUnet(state_dim=4, n_support_points=48, unet_input_dim=32,
                           dim_mults=UNET_DIM_MULTS[0], context_dim=12,
@@ -224,22 +201,11 @@ def main():
                               jnp.zeros((2, 1)))
     x0_q = jnp.asarray(np.array([2.6, 0.5, 1.0] + [0.0] * 9, np.float32))
 
-    def guide_builder(x0):
-        def penalty(u_norm):
-            u_seq = unnormalize(q_in, u_norm)
-            states = rollout(qplant, x0, u_seq, unroll=len(u_seq))
-            return jnp.sum(obstacle_cost(states, centers, radii))
-        grad_fn = jax.grad(penalty)
-
-        def guide(u_norm_batch):
-            g = jax.vmap(grad_fn)(u_norm_batch)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            return -0.1 * jnp.clip(g, -1.0, 1.0)
-        return guide
+    guide_builder = make_loop_guide_builder(qplant, q_in, 0.1)
 
     for guided, tag in ((False, "unguided"), (True, "guided")):
         qloop = jax.jit(make_closed_loop(
-            diffusion, qmodel.apply, q_in, q_c, qplant, TaskCost(),
+            diffusion, qmodel.apply, q_in, q_c, qplant, qtask_cost,
             horizon=48, n_steps=60, w=0.01, n_diffusion_steps_without_noise=5,
             guide_builder=guide_builder if guided else None,
             n_guide_steps=1, t_start_guide=12.5))
@@ -253,7 +219,7 @@ def main():
 
     # sustained quadrotor (guided — the flagship configuration)
     qloop_l = jax.jit(make_closed_loop(
-        diffusion, qmodel.apply, q_in, q_c, qplant, TaskCost(),
+        diffusion, qmodel.apply, q_in, q_c, qplant, qtask_cost,
         horizon=48, n_steps=args.sustained_steps, w=0.01,
         n_diffusion_steps_without_noise=5,
         guide_builder=guide_builder, n_guide_steps=1, t_start_guide=12.5))

@@ -33,15 +33,9 @@ import numpy as np
 
 
 def _pipelined_us(fn, args_list, n_batches=3):
-    out = fn(*args_list[0])
-    jax.block_until_ready(out)
-    dts = []
-    for _ in range(n_batches):
-        t0 = time.perf_counter()
-        outs = [fn(*a) for a in args_list]
-        jax.block_until_ready(outs)
-        dts.append((time.perf_counter() - t0) / len(args_list))
-    return min(dts) * 1e6
+    """Shared pipelined best-of-batches protocol (eval.timing), in us."""
+    from mpc_via_diffusion_model_tpu.eval.timing import pipelined_time_fn
+    return pipelined_time_fn(fn, args_list, n_batches) * 1e6
 
 
 def _maxerr(a, b):

@@ -33,7 +33,7 @@ import time
 
 import numpy as np
 
-from flagship_quadrotor import OBS_CENTERS, OBS_RADII
+from quadrotor_task import eval_start_states, track_metrics
 
 
 def main():
@@ -77,22 +77,11 @@ def main():
     schedule = make_schedule("exponential", 25)
     diffusion = GaussianDiffusion(schedule=schedule)
 
-    # the flagship's held-out eval starts (distill_quadrotor.py seeding)
-    e_rng = np.random.RandomState(7)
-    ev = np.zeros((args.eval_starts, 12), np.float32)
-    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
-    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
-    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
-    ev_j = jnp.asarray(ev)
+    # the flagship's held-out eval starts (shared quadrotor_task seeding)
+    ev_j = jnp.asarray(eval_start_states(args.eval_starts))
     ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
 
-    def collision_metrics(x_tracks):
-        xt = np.asarray(x_tracks)
-        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
-        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))
-        goal = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
-        return {"collision_free_fraction": float((clearance > 0).mean()),
-                "goal_reach_fraction_0.5": float((goal < 0.5).mean())}
+    collision_metrics = track_metrics  # shared flagship metric definitions
 
     out = {"times": [int(t) for t in times], "n_steps": args.steps}
 
@@ -105,18 +94,12 @@ def main():
     runs = jax.jit(jax.vmap(lambda x0, k: loop(student, x0, k)))(ev_j, ks)
     xla_tracks = np.asarray(runs.x_track)
     out["xla"] = collision_metrics(xla_tracks)
+    from mpc_via_diffusion_model_tpu.eval.timing import pipelined_time_fn
     run1 = lambda xx, kk: loop(student, xx, kk).x_track
-    jax.block_until_ready(run1(ev_j[0], ks[0]))
     key = jax.random.PRNGKey(3)
     argsx = [(ev_j[i % args.eval_starts], jax.random.fold_in(key, i))
              for i in range(8)]
-    dts = []
-    for b in range(3):
-        t0 = time.perf_counter()
-        outs = [run1(*a) for a in argsx]
-        jax.block_until_ready(outs)
-        dts.append((time.perf_counter() - t0) / len(argsx))
-    out["xla_hz_pipelined"] = round(args.steps / min(dts), 1)
+    out["xla_hz_pipelined"] = round(args.steps / pipelined_time_fn(run1, argsx), 1)
     print(json.dumps({"metric": "quadrotor_student_xla_hz",
                       "value": out["xla_hz_pipelined"], "unit": "Hz",
                       **out["xla"]}), flush=True)
@@ -136,13 +119,8 @@ def main():
 
     argse = [(ev_j[i % args.eval_starts], jax.random.fold_in(key, 100 + i))
              for i in range(8)]
-    dts = []
-    for b in range(3):
-        t0 = time.perf_counter()
-        outs = [episode(*a)[0] for a in argse]
-        jax.block_until_ready(outs)
-        dts.append((time.perf_counter() - t0) / len(argse))
-    out["episode_hz_pipelined"] = round(args.steps / min(dts), 1)
+    out["episode_hz_pipelined"] = round(
+        args.steps / pipelined_time_fn(lambda xx, kk: episode(xx, kk)[0], argse), 1)
 
     # sustained: dependent chain, one sync (bench.py headline protocol)
     n_chain = 10

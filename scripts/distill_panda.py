@@ -169,18 +169,14 @@ def main():
                 ds.normalizer.stats["condition"], plant, cost,
                 horizon=args.horizon, n_steps=args.steps,
                 sample_override=chain, state_to_condition=to_cond))
+            from mpc_via_diffusion_model_tpu.eval.timing import pipelined_time_fn
             key = jax.random.PRNGKey(3)
             run = lambda kk: loop(cur_teacher, x0, kk)
-            jax.block_until_ready(run(key).x_track)
-            dts = []
-            for b in range(3):
-                t0 = time.perf_counter()
-                outs = [run(jax.random.fold_in(key, 10 * b + i)).x_track
-                        for i in range(8)]
-                jax.block_until_ready(outs)
-                dts.append((time.perf_counter() - t0) / 8)
+            dt = pipelined_time_fn(
+                lambda kk: run(kk).x_track,
+                [(jax.random.fold_in(key, i),) for i in range(8)])
             ep_costs = run(key).stage_costs
-            report[f"fused_chain_hz_{tag}"] = round(args.steps / min(dts), 1)
+            report[f"fused_chain_hz_{tag}"] = round(args.steps / dt, 1)
             report[f"fused_chain_cost_ratio_{tag}"] = round(
                 float(jnp.sum(ep_costs)) / expert_cost, 4)
             print(f"[fused chain {tag}] {report[f'fused_chain_hz_{tag}']} Hz, cost "

@@ -28,9 +28,9 @@ import os
 import pickle
 import time
 
-import numpy as np
-
-from flagship_quadrotor import OBS_CENTERS, OBS_RADII
+from quadrotor_task import (
+    eval_start_states, make_penalty_grad, make_task_cost, track_metrics,
+)
 
 
 def main():
@@ -66,7 +66,6 @@ def main():
         ddim_time_grid, make_distill_step, make_student_ddim_sampler,
     )
     from mpc_via_diffusion_model_tpu.dynamics import get_plant
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
     from mpc_via_diffusion_model_tpu.train import (
         TrainState, make_optimizer, make_scanned_train_steps,
@@ -74,21 +73,7 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     plant, quad_cost = get_plant("quadrotor")
-    m_hover = 9.81
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-
-    class TaskCost:  # the flagship's hover + obstacle cost
-        @staticmethod
-        def stage(x, u):
-            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
-            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii))
-
-        @staticmethod
-        def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
-
-    cost = TaskCost()
+    cost = make_task_cost(quad_cost)  # the flagship's hover + obstacle cost
     ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
     with open(os.path.join(args.teacher, "ema_params.pkl"), "rb") as f:
         teacher_params = pickle.load(f)
@@ -104,24 +89,11 @@ def main():
 
     # the flagship's 16 held-out eval starts
     n_eval_steps = 60
-    e_rng = np.random.RandomState(7)
-    ev = np.zeros((args.eval_starts, 12), np.float32)
-    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
-    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
-    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
-    ev_j = jnp.asarray(ev)
+    ev_j = jnp.asarray(eval_start_states(args.eval_starts))
     ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
 
     def metrics(runs):
-        xt = np.asarray(runs.x_track)
-        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
-        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))
-        goal = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
-        return {
-            "collision_free_fraction": float((clearance > 0).mean()),
-            "goal_reach_fraction_0.5": float((goal < 0.5).mean()),
-            "cost_mean": float(np.asarray(runs.stage_costs.sum(axis=1)).mean()),
-        }
+        return track_metrics(runs.x_track, runs.stage_costs)
 
     def eval_student(params, times):
         sampler = make_student_ddim_sampler(schedule, model.apply, times)
@@ -140,25 +112,14 @@ def main():
     distill_guide = None
     if args.guided:
         from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
-        from mpc_via_diffusion_model_tpu.dynamics.base import rollout
 
         u_stats = ds.normalizer.stats["inputs"]
         c_stats = ds.normalizer.stats["condition"]
+        per = make_penalty_grad(plant, u_stats, args.guide_scale)
 
         def distill_guide(u_norm_batch, ctx_norm_batch):
             x0s = unnormalize(c_stats, ctx_norm_batch)  # (B, 12)
-
-            def one(u_norm, x0):
-                def penalty(un):
-                    u_seq = unnormalize(u_stats, un)
-                    states = rollout(plant, x0, u_seq, unroll=len(u_seq))
-                    return jnp.sum(obstacle_cost(states, centers, radii))
-
-                g = jax.grad(penalty)(u_norm)
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
-
-            return jax.vmap(one)(u_norm_batch, x0s)
+            return jax.vmap(per)(u_norm_batch, x0s)
 
     report = {
         "teacher": args.teacher,

@@ -34,7 +34,10 @@ import time
 
 import numpy as np
 
-from flagship_quadrotor import OBS_CENTERS, OBS_RADII
+from quadrotor_task import (
+    OBS_CENTERS, OBS_RADII, eval_start_states, make_loop_guide_builder,
+    make_penalty_grad, make_task_cost, track_metrics,
+)
 
 
 def main():
@@ -74,6 +77,15 @@ def main():
     p.add_argument("--eval-starts", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    # fail fast: the scanned-chunk training loops run steps//chunk chunks, so
+    # steps below one chunk would silently skip training AFTER the expensive
+    # guided sampling stage
+    assert args.finetune_steps >= args.chunk, (
+        f"--finetune-steps {args.finetune_steps} < --chunk {args.chunk}: "
+        "the finetune loop would not run")
+    assert args.steps_per_round >= args.chunk, (
+        f"--steps-per-round {args.steps_per_round} < --chunk {args.chunk}: "
+        "the distill loops would not run")
 
     import jax
     if args.cpu:
@@ -90,7 +102,6 @@ def main():
     )
     from mpc_via_diffusion_model_tpu.dynamics import get_plant
     from mpc_via_diffusion_model_tpu.dynamics.base import rollout
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
     from mpc_via_diffusion_model_tpu.train import (
         TrainState, make_optimizer, make_scanned_train_steps, make_train_step,
@@ -98,21 +109,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     plant, quad_cost = get_plant("quadrotor")
-    m_hover = 9.81
     centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-
-    class TaskCost:  # the flagship's hover + obstacle cost
-        @staticmethod
-        def stage(x, u):
-            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
-            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii))
-
-        @staticmethod
-        def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
-
-    cost = TaskCost()
+    cost = make_task_cost(quad_cost)  # the flagship's hover + obstacle cost
     ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
     in_stats = ds.normalizer.stats["inputs"]
     c_stats = ds.normalizer.stats["condition"]
@@ -139,21 +137,8 @@ def main():
         # run the guided teacher CLOSED-LOOP from random starts and add every
         # visited state to the pool: at eval time the student replans from
         # guided-visitation states, which the expert dataset under-covers
-        def loop_guide_builder(x0):
-            def penalty(un):
-                u_seq = unnormalize(in_stats, un)
-                states = rollout(plant, x0, u_seq, unroll=H)
-                return jnp.sum(obstacle_cost(states, centers, radii))
-
-            grad_fn = jax.grad(penalty)
-
-            def guide(u_norm_b):
-                g = jax.vmap(grad_fn)(u_norm_b)
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
-
-            return guide
-
+        loop_guide_builder = make_loop_guide_builder(
+            plant, in_stats, args.guide_scale)
         gloop = jax.jit(make_closed_loop(
             diffusion, model.apply, in_stats, c_stats, plant, cost,
             horizon=H, n_steps=60, w=args.w,
@@ -179,22 +164,14 @@ def main():
     n_pool = x0_pool.shape[0]
     rng = np.random.RandomState(5)
 
+    per_grad = make_penalty_grad(plant, in_stats, args.guide_scale)
+
     def sample_chunk(x0s, key):
         ctx = jax.vmap(lambda x: normalize(c_stats, x))(x0s)  # (B, 12)
         denoise = lambda x, t, c, m: model.apply(teacher_params, x, t, c, m)
 
         def guide(u_norm_b):
-            def per(u_norm, x0):
-                def penalty(un):
-                    u_seq = unnormalize(in_stats, un)
-                    states = rollout(plant, x0, u_seq, unroll=H)
-                    return jnp.sum(obstacle_cost(states, centers, radii))
-
-                g = jax.grad(penalty)(u_norm)
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
-
-            return jax.vmap(per)(u_norm_b, x0s)
+            return jax.vmap(per_grad)(u_norm_b, x0s)
 
         u_norm = diffusion.ddpm_cfg_sample(
             denoise, (x0s.shape[0], H, 4), key, ctx, w=args.w,
@@ -268,27 +245,21 @@ def main():
     t_ft = time.time() - t0
     print(f"[finetune] {args.finetune_steps} steps in {t_ft:.0f}s "
           f"(final loss {float(loss):.5f})", flush=True)
+    # persist the expensive stage-2 product: later wide-evals / re-distills /
+    # Pareto re-checks must not redo the sample+finetune pipeline
+    with open(os.path.join(args.out, "guided_teacher_ema.pkl"), "wb") as f:
+        pickle.dump(guided_teacher, f)
+    np.savez_compressed(os.path.join(args.out, "guided_dataset.npz"),
+                        inputs_normalized=np.asarray(guided_u),
+                        condition_normalized=np.asarray(guided_c))
 
     # ---------- eval helpers (the flagship protocol) ----------
     n_eval_steps = 60
-    e_rng = np.random.RandomState(7)
-    ev = np.zeros((args.eval_starts, 12), np.float32)
-    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
-    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
-    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
-    ev_j = jnp.asarray(ev)
+    ev_j = jnp.asarray(eval_start_states(args.eval_starts))
     ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
 
     def metrics(runs):
-        xt = np.asarray(runs.x_track)
-        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
-        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))
-        goal = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
-        return {
-            "collision_free_fraction": float((clearance > 0).mean()),
-            "goal_reach_fraction_0.5": float((goal < 0.5).mean()),
-            "cost_mean": float(np.asarray(runs.stage_costs.sum(axis=1)).mean()),
-        }
+        return track_metrics(runs.x_track, runs.stage_costs)
 
     def eval_full_cfg(params):
         loop = jax.jit(make_closed_loop(
@@ -338,18 +309,7 @@ def main():
     if args.distill_guide:
         def distill_guide(u_norm_batch, ctx_norm_batch):
             x0s = jax.vmap(lambda c: unnormalize(c_stats, c))(ctx_norm_batch)
-
-            def one(u_norm, x0):
-                def penalty(un):
-                    u_seq = unnormalize(in_stats, un)
-                    states = rollout(plant, x0, u_seq, unroll=len(u_seq))
-                    return jnp.sum(obstacle_cost(states, centers, radii))
-
-                g = jax.grad(penalty)(u_norm)
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
-
-            return jax.vmap(one)(u_norm_batch, x0s)
+            return jax.vmap(per_grad)(u_norm_batch, x0s)
 
     times = ddim_time_grid(25, t_start=23)
     cur_teacher = guided_teacher

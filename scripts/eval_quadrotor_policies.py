@@ -2,10 +2,11 @@
 
 16 starts gives +/-1-2-start noise on collision-free fraction; this evaluates
 the guided TEACHER (sampling-time obstacle guide at the Pareto-chosen
-operating point), the guided-data FINETUNED full-CFG model, and the 3-eval
-STUDENT on the same N held-out starts so the distillation gap is measured,
-not guessed. Prints one JSON row per policy; writes
-<student-dir>/wide_eval.json.
+operating point), the unguided teacher control arm, the guided-data
+FINETUNED full-CFG model (when the distill run saved
+guided_teacher_ema.pkl), and every distilled STUDENT on the same N held-out
+starts so the distillation gap is measured, not guessed. Prints one JSON row
+per policy; writes <student-dir>/wide_eval.json.
 """
 from __future__ import annotations
 
@@ -19,9 +20,9 @@ import json
 import os
 import pickle
 
-import numpy as np
-
-from flagship_quadrotor import OBS_CENTERS, OBS_RADII
+from quadrotor_task import (
+    eval_start_states, make_loop_guide_builder, make_task_cost, track_metrics,
+)
 
 
 def main():
@@ -43,32 +44,15 @@ def main():
     from mpc_via_diffusion_model_tpu.control import make_closed_loop
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
-    from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
     from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
     from mpc_via_diffusion_model_tpu.diffusion.distillation import (
         make_student_ddim_sampler,
     )
     from mpc_via_diffusion_model_tpu.dynamics import get_plant
-    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
 
     plant, quad_cost = get_plant("quadrotor")
-    m_hover = 9.81
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-
-    class TaskCost:
-        @staticmethod
-        def stage(x, u):
-            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
-            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii))
-
-        @staticmethod
-        def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
-
-    cost = TaskCost()
+    cost = make_task_cost(quad_cost)
     H = 48
     ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
     in_stats = ds.normalizer.stats["inputs"]
@@ -82,38 +66,11 @@ def main():
     diffusion = GaussianDiffusion(schedule=schedule)
 
     # fresh held-out starts (different seed from the 16-start eval)
-    e_rng = np.random.RandomState(97)
-    ev = np.zeros((args.n_starts, 12), np.float32)
-    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.n_starts)
-    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.n_starts)
-    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.n_starts)
-    ev_j = jnp.asarray(ev)
+    ev_j = jnp.asarray(eval_start_states(args.n_starts, seed=97))
     ks = jax.random.split(jax.random.PRNGKey(29), args.n_starts)
 
-    def metrics(x_tracks):
-        xt = np.asarray(x_tracks)
-        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
-        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))
-        goal = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
-        cf, rf = (clearance > 0), (goal < 0.5)
-        return {"collision_free_fraction": float(cf.mean()),
-                "goal_reach_fraction_0.5": float(rf.mean()),
-                "safe_reach_fraction": float((cf & rf).mean())}
-
-    def guide_builder(x0):
-        def penalty(un):
-            u_seq = unnormalize(in_stats, un)
-            states = rollout(plant, x0, u_seq, unroll=H)
-            return jnp.sum(obstacle_cost(states, centers, radii))
-
-        grad_fn = jax.grad(penalty)
-
-        def guide(u_norm_b):
-            g = jax.vmap(grad_fn)(u_norm_b)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
-
-        return guide
+    metrics = track_metrics  # shared flagship metric definitions
+    guide_builder = make_loop_guide_builder(plant, in_stats, args.guide_scale)
 
     out = {"n_starts": args.n_starts}
 
@@ -138,6 +95,20 @@ def main():
     out["teacher_unguided"] = metrics(runs.x_track)
     print(json.dumps({"policy": "teacher_unguided", **out["teacher_unguided"]}),
           flush=True)
+
+    # guided-data FINETUNED full-CFG model (saved by the distill run)
+    ft_path = os.path.join(args.student_dir, "guided_teacher_ema.pkl")
+    if os.path.exists(ft_path):
+        with open(ft_path, "rb") as f:
+            ft_params = pickle.load(f)
+        runs = jax.jit(jax.vmap(lambda x0, k: uloop(ft_params, x0, k)))(ev_j, ks)
+        out["finetuned_full_cfg"] = metrics(runs.x_track)
+        print(json.dumps({"policy": "finetuned_full_cfg",
+                          **out["finetuned_full_cfg"]}), flush=True)
+    else:
+        print(json.dumps({"policy": "finetuned_full_cfg",
+                          "skipped": f"{ft_path} not found (older distill run)"}),
+              flush=True)
 
     # guided-data students
     report = json.load(open(os.path.join(args.student_dir, "report.json")))

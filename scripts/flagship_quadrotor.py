@@ -31,9 +31,12 @@ import time
 
 import numpy as np
 
-OBS_CENTERS = np.array([[1.5, 0.0, 1.0], [0.9, 0.9, 1.2], [0.9, -0.9, 0.8]],
-                       np.float32)
-OBS_RADII = np.array([0.45, 0.40, 0.40], np.float32)
+# the task definition (obstacles, cost, guide, eval starts, metrics) is
+# shared by every quadrotor script — see quadrotor_task.py
+from quadrotor_task import (
+    HOVER_THRUST, OBS_CENTERS, OBS_RADII, eval_start_states,
+    make_loop_guide_builder, make_task_cost, track_metrics,
+)
 
 
 def main():
@@ -62,11 +65,8 @@ def main():
     from mpc_via_diffusion_model_tpu.control import make_closed_loop
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
-    from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
     from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
     from mpc_via_diffusion_model_tpu.dynamics import get_plant
-    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
     from mpc_via_diffusion_model_tpu.solvers.mppi import MPPIConfig, mppi_solve
     from mpc_via_diffusion_model_tpu.train import (
@@ -76,25 +76,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     plant, quad_cost = get_plant("quadrotor")
-    m_hover = 9.81  # thrust for m=1 hover
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-
-    class TaskCost:
-        """Hover-at-origin quadratic + soft obstacle penalty (duck-typed for
-        the MPPI/rollout cost interface)."""
-
-        @staticmethod
-        def stage(x, u):
-            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
-            # obstacle_cost sums over (H, n_obs); x[None] is H=1 -> scalar
-            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii))
-
-        @staticmethod
-        def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
-
-    task_cost = TaskCost()
+    m_hover = HOVER_THRUST
+    task_cost = make_task_cost(quad_cost)
 
     # ---------------- 1) MPPI expert collection ---------------- #
     rng = np.random.RandomState(0)
@@ -203,30 +186,10 @@ def main():
 
     # ---------------- 3) guided vs unguided closed loop ---------------- #
     u_stats = ds.normalizer.stats["inputs"]
-
-    def guide_builder(x0):
-        """Obstacle-clearance guide on NORMALIZED u batches: descend the
-        rolled-out obstacle penalty through the plant (chain rule via
-        jax.grad), the control-space analogue of the reference's
-        GuideManagerTrajectories gradient step."""
-
-        def penalty(u_norm):
-            u_seq = unnormalize(u_stats, u_norm)  # (H, 4)
-            states = rollout(plant, x0, u_seq, unroll=len(u_seq))
-            return jnp.sum(obstacle_cost(states, centers, radii))
-
-        grad_fn = jax.grad(penalty)
-
-        def guide(u_norm_batch):
-            g = jax.vmap(grad_fn)(u_norm_batch)
-            # a partially-denoised u can blow the 48-step rollout up to inf,
-            # making g NaN — and clip(NaN) = NaN would poison the sample;
-            # mask to zero (guide no-op) before the clipped descent step
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            # normalized, clipped descent step (reference clips guide grads)
-            return -args.guide_scale * jnp.clip(g, -1.0, 1.0)
-
-        return guide
+    # obstacle-clearance guide on NORMALIZED u batches (quadrotor_task):
+    # descend the rolled-out obstacle penalty through the plant, the
+    # control-space analogue of the reference's GuideManagerTrajectories step
+    guide_builder = make_loop_guide_builder(plant, u_stats, args.guide_scale)
 
     def run_eval(guided: bool):
         loop = jax.jit(make_closed_loop(
@@ -237,25 +200,12 @@ def main():
             guide_builder=guide_builder if guided else None,
             n_guide_steps=1, t_start_guide=float(diffusion.schedule.n_steps) / 2,
         ))
-        e_rng = np.random.RandomState(7)
-        ev = np.zeros((args.eval_starts, 12), np.float32)
-        ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
-        ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
-        ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
+        ev = eval_start_states(args.eval_starts)
         ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
         runs = jax.jit(jax.vmap(lambda x0, k: loop(state.ema_params, x0, k)))(
             jnp.asarray(ev), ks)
         xt = np.asarray(runs.x_track)  # (N, steps+1, 12)
-        d = np.linalg.norm(xt[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
-        clearance = (d - OBS_RADII[None, None]).min(axis=(1, 2))  # (N,)
-        goal_dist = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
-        return {
-            "collision_free_fraction": float((clearance > 0).mean()),
-            "min_clearance_mean": float(clearance.mean()),
-            "goal_dist_mean": float(goal_dist.mean()),
-            "goal_reach_fraction_0.5": float((goal_dist < 0.5).mean()),
-            "cost_mean": float(np.asarray(runs.stage_costs.sum(axis=1)).mean()),
-        }, xt, ev
+        return track_metrics(xt, runs.stage_costs), xt, ev
 
     res_guided, xt_g, ev = run_eval(True)
     res_unguided, xt_u, _ = run_eval(False)
@@ -276,15 +226,7 @@ def main():
     ks = jax.random.split(jax.random.PRNGKey(13), args.eval_starts)
     xt_e, stages_e = jax.jit(jax.vmap(expert_run))(jnp.asarray(ev), ks)
     xt_e = np.asarray(xt_e)
-    d_e = np.linalg.norm(xt_e[:, :, None, 0:3] - OBS_CENTERS[None, None], axis=-1)
-    clear_e = (d_e - OBS_RADII[None, None]).min(axis=(1, 2))
-    res_expert = {
-        "collision_free_fraction": float((clear_e > 0).mean()),
-        "min_clearance_mean": float(clear_e.mean()),
-        "goal_dist_mean": float(np.linalg.norm(xt_e[:, -1, 0:3], axis=-1).mean()),
-        "goal_reach_fraction_0.5": float((np.linalg.norm(xt_e[:, -1, 0:3], axis=-1) < 0.5).mean()),
-        "cost_mean": float(np.asarray(stages_e.sum(axis=1)).mean()),
-    }
+    res_expert = track_metrics(xt_e, stages_e)
 
     report = {
         "n_samples": int(len(x_cat)),

@@ -67,6 +67,9 @@ def main():
     # <out>/trace.json at the end — load in chrome://tracing / Perfetto
     from mpc_via_diffusion_model_tpu.native.tracer import Tracer
     tracer = Tracer()
+    # crash-safe: if any phase raises, whatever spans completed (plus the
+    # in-flight phase, truncated) are still dumped at interpreter exit
+    tracer.dump_at_exit(os.path.join(args.out, "trace.json"))
     plant_name = {"cartpole": "cartpole_virtual_swingup", "acrobot": "acrobot",
                   "panda": "panda_surrogate", "panda_rbd": "panda"}[args.plant]
     plant, cost = get_plant(plant_name)

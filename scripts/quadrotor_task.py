@@ -1,0 +1,135 @@
+"""Single source of truth for the quadrotor flagship task.
+
+Obstacle layout, hover+obstacle cost, the obstacle-clearance guide, the
+held-out eval-start distribution, and the clearance metric were previously
+copy-pasted across the quadrotor scripts; if any of them drifted, a script
+would silently measure a DIFFERENT scene than the policies were trained and
+evaluated on. Every quadrotor script (flagship_quadrotor, bench_highdim,
+sweep_quadrotor_guide, eval_quadrotor_policies, distill_quadrotor,
+distill_quadrotor_guided_data, bench_quadrotor_student) imports from here.
+
+jax is imported lazily inside the factories so importing this module never
+initializes a backend before the caller's `--cpu` platform selection.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+OBS_CENTERS = np.array([[1.5, 0.0, 1.0], [0.9, 0.9, 1.2], [0.9, -0.9, 0.8]],
+                       np.float32)
+OBS_RADII = np.array([0.45, 0.40, 0.40], np.float32)
+
+HOVER_THRUST = 9.81  # thrust for m=1 hover
+
+
+def make_task_cost(quad_cost):
+    """Hover-at-origin quadratic + soft obstacle penalty (duck-typed for the
+    MPPI/rollout cost interface)."""
+    import jax.numpy as jnp
+    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
+
+    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+    u_hover = jnp.array([HOVER_THRUST, 0.0, 0.0, 0.0])
+
+    class TaskCost:
+        @staticmethod
+        def stage(x, u):
+            du = u - u_hover
+            # obstacle_cost sums over (H, n_obs); x[None] is H=1 -> scalar
+            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
+                    + obstacle_cost(x[None], centers, radii))
+
+        @staticmethod
+        def terminal(x):
+            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
+
+    return TaskCost()
+
+
+def make_penalty_grad(plant, in_stats, guide_scale):
+    """Per-plan guided-descent delta ``per(u_norm (H, 4), x0 (12,)) -> (H, 4)``:
+    descend the rolled-out obstacle penalty through the plant (chain rule via
+    jax.grad), the control-space analogue of the reference's
+    GuideManagerTrajectories gradient step.
+
+    ``guide_scale`` may be a Python float or a traced scalar (the Pareto
+    sweep vmaps over it)."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
+    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
+    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
+
+    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+
+    def per(u_norm, x0):
+        def penalty(un):
+            u_seq = unnormalize(in_stats, un)
+            states = rollout(plant, x0, u_seq, unroll=u_norm.shape[0])
+            return jnp.sum(obstacle_cost(states, centers, radii))
+
+        g = jax.grad(penalty)(u_norm)
+        # a partially-denoised u can blow the rollout up to inf, making g
+        # NaN — and clip(NaN) = NaN would poison the sample; mask to zero
+        # (guide no-op) before the clipped descent step
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        # normalized, clipped descent step (reference clips guide grads)
+        return -guide_scale * jnp.clip(g, -1.0, 1.0)
+
+    return per
+
+
+def make_loop_guide_builder(plant, in_stats, guide_scale):
+    """``guide_builder(x0)`` for `control.make_closed_loop`: the whole
+    candidate batch shares the loop's current state x0."""
+    import jax
+
+    per = make_penalty_grad(plant, in_stats, guide_scale)
+
+    def guide_builder(x0):
+        def guide(u_norm_batch):
+            return jax.vmap(lambda u: per(u, x0))(u_norm_batch)
+
+        return guide
+
+    return guide_builder
+
+
+def eval_start_states(n, seed=7):
+    """The held-out eval-start distribution (x in [2.2, 3], y in [-1.2, 1.2],
+    z in [0.6, 1.4], rest zero). seed=7 is the flagship's 16-start eval set;
+    eval_quadrotor_policies uses seed=97 for its wider fresh set."""
+    rng = np.random.RandomState(seed)
+    ev = np.zeros((n, 12), np.float32)
+    ev[:, 0] = rng.uniform(2.2, 3.0, n)
+    ev[:, 1] = rng.uniform(-1.2, 1.2, n)
+    ev[:, 2] = rng.uniform(0.6, 1.4, n)
+    return ev
+
+
+def min_clearance(xt):
+    """Min obstacle clearance per track: ``(..., T, 12) -> (...,)``
+    (negative = collision)."""
+    xt = np.asarray(xt)
+    d = np.linalg.norm(xt[..., :, None, 0:3] - OBS_CENTERS, axis=-1)
+    return (d - OBS_RADII).min(axis=(-1, -2))
+
+
+def track_metrics(xt, stage_costs=None):
+    """The flagship eval metrics for a batch of closed-loop tracks
+    ``(N, T, 12)``: collision-free / goal-reach / safe-reach fractions,
+    mean min-clearance and goal distance (+ cost when stage_costs given)."""
+    xt = np.asarray(xt)
+    clearance = min_clearance(xt)
+    goal_dist = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
+    cf, rf = clearance > 0, goal_dist < 0.5
+    out = {
+        "collision_free_fraction": float(cf.mean()),
+        "min_clearance_mean": float(clearance.mean()),
+        "goal_dist_mean": float(goal_dist.mean()),
+        "goal_reach_fraction_0.5": float(rf.mean()),
+        "safe_reach_fraction": float((cf & rf).mean()),
+    }
+    if stage_costs is not None:
+        out["cost_mean"] = float(np.asarray(stage_costs).sum(axis=1).mean())
+    return out

@@ -31,9 +31,10 @@ import time
 
 import numpy as np
 
-OBS_CENTERS = np.array([[1.5, 0.0, 1.0], [0.9, 0.9, 1.2], [0.9, -0.9, 0.8]],
-                       np.float32)
-OBS_RADII = np.array([0.45, 0.40, 0.40], np.float32)
+# task definition shared with every quadrotor script (quadrotor_task.py)
+from quadrotor_task import (
+    eval_start_states, make_penalty_grad, make_task_cost, min_clearance,
+)
 
 
 def main():
@@ -58,28 +59,13 @@ def main():
     from mpc_via_diffusion_model_tpu.control import make_closed_loop
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
-    from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
     from mpc_via_diffusion_model_tpu.diffusion import GaussianDiffusion
     from mpc_via_diffusion_model_tpu.dynamics import get_plant
-    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
     from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
 
     os.makedirs(args.out, exist_ok=True)
     plant, quad_cost = get_plant("quadrotor")
-    m_hover = 9.81
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-
-    class TaskCost:
-        @staticmethod
-        def stage(x, u):
-            du = u - jnp.array([m_hover, 0.0, 0.0, 0.0])
-            return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii))
-
-        @staticmethod
-        def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(x[None], centers, radii)
+    task_cost = make_task_cost(quad_cost)
 
     ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
     with open(os.path.join(args.teacher, "ema_params.pkl"), "rb") as f:
@@ -92,36 +78,25 @@ def main():
     u_stats = ds.normalizer.stats["inputs"]
 
     # eval starts: the flagship's held-out set
-    e_rng = np.random.RandomState(7)
-    ev = np.zeros((args.eval_starts, 12), np.float32)
-    ev[:, 0] = e_rng.uniform(2.2, 3.0, args.eval_starts)
-    ev[:, 1] = e_rng.uniform(-1.2, 1.2, args.eval_starts)
-    ev[:, 2] = e_rng.uniform(0.6, 1.4, args.eval_starts)
-    ev_j = jnp.asarray(ev)
+    ev_j = jnp.asarray(eval_start_states(args.eval_starts))
     ks = jax.random.split(jax.random.PRNGKey(11), args.eval_starts)
 
     def run_one(x0, key, scale, t_start):
         """One guided closed loop with RUNTIME (scale, t_start) — traced, so
         the whole grid is one compile."""
 
+        # the shared penalty-gradient guide with the TRACED scale closed over
+        per = make_penalty_grad(plant, u_stats, scale)
+
         def guide_builder(x0_inner):
-            def penalty(u_norm):
-                u_seq = unnormalize(u_stats, u_norm)
-                states = rollout(plant, x0_inner, u_seq, unroll=args.horizon)
-                return jnp.sum(obstacle_cost(states, centers, radii))
-
-            grad_fn = jax.grad(penalty)
-
             def guide(u_norm_batch):
-                g = jax.vmap(grad_fn)(u_norm_batch)
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                return -scale * jnp.clip(g, -1.0, 1.0)
+                return jax.vmap(lambda u: per(u, x0_inner))(u_norm_batch)
 
             return guide
 
         loop = make_closed_loop(
             diffusion, model.apply, u_stats, ds.normalizer.stats["condition"],
-            plant, TaskCost(), horizon=args.horizon, n_steps=args.steps,
+            plant, task_cost, horizon=args.horizon, n_steps=args.steps,
             w=0.01, n_diffusion_steps_without_noise=5,
             guide_builder=guide_builder, n_guide_steps=1, t_start_guide=t_start)
         res = loop(params, x0, key)
@@ -143,9 +118,7 @@ def main():
     print(f"[sweep] {len(grid)} grid points x {args.eval_starts} starts in "
           f"{t_sweep:.1f}s", flush=True)
 
-    d = np.linalg.norm(xts[:, :, :, None, 0:3] - OBS_CENTERS[None, None, None],
-                       axis=-1)
-    clearance = (d - OBS_RADII[None, None, None]).min(axis=(2, 3))  # (G, N)
+    clearance = min_clearance(xts)  # (G, N)
     goal_dist = np.linalg.norm(xts[:, :, -1, 0:3], axis=-1)          # (G, N)
     cf = clearance > 0
     reach = goal_dist < 0.5

@@ -89,6 +89,11 @@ def test_timing_harness():
     with Timer() as t:
         pass
     assert t.elapsed >= 0
+    # the one shared pipelined best-of-batches protocol (used by
+    # bench_kernels / bench_highdim / bench_quadrotor_student / distill_panda)
+    from mpc_via_diffusion_model_tpu.eval.timing import pipelined_time_fn
+    dt = pipelined_time_fn(f, [(jnp.ones(16),)] * 4, n_batches=2)
+    assert 0 < dt < 10.0
 
 
 def test_ddim_closed_loop():
@@ -135,7 +140,9 @@ def test_trajectory_summary_image_logging(tmp_path):
         summary = make_trajectory_summary(
             diffusion, model.apply, ds, n_samples=4,
             n_diffusion_steps_without_noise=1, image_writer=w)
-        out = summary(params, jax.random.PRNGKey(1))
+        out = summary(params, jax.random.PRNGKey(1), step=123)
     assert "fraction_free" in out
     imgs = os.listdir(os.path.join(str(tmp_path), "images"))
-    assert len(imgs) == 1 and imgs[0].endswith(".png")
+    # the image carries the TRAINING step (wandb needs one monotonic step
+    # axis shared with the scalar metrics), not a local call counter
+    assert len(imgs) == 1 and imgs[0].endswith("step0000123.png")

@@ -303,3 +303,14 @@ def test_context_and_sdf_score_models():
     p3 = m3.init(jax.random.PRNGKey(3), x2, t, task_feat, start)
     s3 = m3.apply(p3, x2, t, task_feat, start)
     assert s3.shape == (b, H * 2) and bool(jnp.all(jnp.isfinite(s3)))
+
+
+def test_sdf_score_model_requires_sdf_fn():
+    """Default-constructed SDFScoreMLP (use_sdf_value=True, sdf_fn=None) must
+    fail with a clear message, not a NoneType call."""
+    from mpc_via_diffusion_model_tpu.models import SDFScoreMLP
+
+    m = SDFScoreMLP(n_support_points=6)
+    with pytest.raises(ValueError, match="sdf_fn"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((2, 12)),
+               jnp.full((2,), 0.5), jnp.zeros((2, 8)), jnp.zeros((2, 4)))

@@ -107,3 +107,22 @@ def test_store_array_outlives_dict():
         del arr
         gc.collect()
         np.testing.assert_array_equal(sub, data[3:5])
+
+
+def test_tracer_begin_end_guards(tmp_path):
+    """end() without begin() raises a clear error instead of IndexError, and
+    dump() closes still-open phases so an error path (flagship_run's
+    dump_at_exit) still writes a loadable trace containing the in-flight
+    phase."""
+    import json
+    from mpc_via_diffusion_model_tpu.native import Tracer
+
+    tr = Tracer(capacity=32)
+    with pytest.raises(RuntimeError, match="without a matching begin"):
+        tr.end()
+    tr.begin("collect")
+    tr.begin("inner")
+    p = str(tmp_path / "t.json")
+    tr.dump(p)  # closes both open phases (truncated at now)
+    names = sorted(e["name"] for e in json.load(open(p))["traceEvents"])
+    assert names == ["collect", "inner"]

@@ -180,3 +180,37 @@ def test_trainer_fit_chunked(setup, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "final.ckpt"))
     assert os.path.exists(os.path.join(str(tmp_path), "step_000020.ckpt"))
     assert len(trainer.train_losses) >= 2
+
+
+def test_summary_fn_receives_training_step(setup):
+    """fit() passes the TRAINING step to summary hooks that accept one
+    (wandb drops logs whose step regresses, so images logged inside a
+    summary must ride the same step axis as the scalar metrics); plain
+    fn(params, key) hooks keep working."""
+    model, diffusion, params = setup
+    rng = np.random.RandomState(2)
+    ds = ControlSequenceDataset.from_arrays(
+        rng.randn(64, 1, 2).astype(np.float32),
+        rng.randn(64, 3).astype(np.float32))
+
+    seen = []
+
+    def summary3(p, k, step=None):
+        seen.append(step)
+        return {"s3": 0.0}
+
+    Trainer(diffusion, model.apply, params, lr=1e-3).fit(
+        ds, num_train_steps=20, batch_size=16, steps_til_summary=10,
+        summary_fn=summary3, log_fn=lambda s: None)
+    assert seen == [1, 10, 20]  # monotonic real steps, never None
+
+    seen2 = []
+
+    def summary2(p, k):
+        seen2.append(1)
+        return {"s2": 0.0}
+
+    Trainer(diffusion, model.apply, params, lr=1e-3).fit(
+        ds, num_train_steps=10, batch_size=16, steps_til_summary=5,
+        summary_fn=summary2, log_fn=lambda s: None)
+    assert len(seen2) == 3
