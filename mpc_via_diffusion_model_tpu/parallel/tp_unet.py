@@ -34,7 +34,10 @@ story for models that outgrow one chip's VMEM/HBM.
 
 Parity: `make_tp_unet_apply` is asserted numerically equal to the unsharded
 `model.apply` on an 8-device CPU mesh (tests/test_tp_unet.py) and wired into
-`__graft_entry__.dryrun_multichip`.
+`__graft_entry__.dryrun_multichip`. TRAINING through the same sharding lives
+in `tp_train.py` (2-D data x model mesh; exact-gradient via check_vma=True);
+`gather_tp_params` / `weights_to_params` export TP-trained shards back to a
+standard flax checkpoint.
 
 Supports the production configs: conditioning_type='default' (or None),
 self_attention=False — same envelope as `ops/fused_unet.py`.
@@ -54,7 +57,13 @@ from ..models.layers import group_norm_n_groups, mish
 from ..models.temporal_unet import TemporalUnet
 from ..ops.fused_unet import _extract_weights
 
-__all__ = ["make_tp_unet_apply", "unet_apply_functional"]
+__all__ = [
+    "make_tp_unet_apply",
+    "unet_apply_functional",
+    "shard_unet_params",
+    "gather_tp_params",
+    "weights_to_params",
+]
 
 
 # --------------------------------------------------------------------------- #
@@ -214,20 +223,14 @@ def _resblock_tp(shd, rep, x, c, groups, m, axis):
     return full + res
 
 
-def make_tp_unet_apply(
-    mesh: Mesh,
-    model: TemporalUnet,
-    params,
-    axis: str = "model",
-) -> Callable:
-    """Shard trained TemporalUnet ``params`` over ``mesh``'s ``axis`` and
-    return a jitted ``apply(x, time, context, context_mask) -> eps`` matching
-    ``model.apply(params, ...)`` to fp32 tolerance.
+def shard_unet_params(model: TemporalUnet, params, m: int):
+    """Split flax TemporalUnet ``params`` into (shd_tree, rep_tree) for an
+    m-way 'model' axis. shd leaves carry a leading shard axis of size m;
+    rep leaves are replicated. Inverse: `gather_tp_params`.
 
-    Requires ``mesh.shape[axis]`` to divide every block's GroupNorm group
-    count (8 for the standard widths), so norm statistics stay shard-local.
+    Requires ``m`` to divide every block's GroupNorm group count (8 for the
+    standard widths), so norm statistics stay shard-local.
     """
-    m = int(mesh.shape[axis])
     w, in_out = _extract_weights(model, params)
     n_levels = len(in_out)
 
@@ -257,6 +260,78 @@ def make_tp_unet_apply(
     shd_tree = {"blocks": shd_blocks}
     rep_tree = jax.tree_util.tree_map(jnp.asarray, rep_tree)
     shd_tree = jax.tree_util.tree_map(jnp.asarray, shd_tree)
+    return shd_tree, rep_tree, groups_per_block, n_levels
+
+
+def _cat(stacked, ax):
+    """(m, …) stacked shards -> concatenated along original axis ``ax``."""
+    return jnp.concatenate([stacked[i] for i in range(stacked.shape[0])], axis=ax)
+
+
+def gather_tp_params(model: TemporalUnet, shd_tree, rep_tree):
+    """Merge (shd_tree, rep_tree) back into standard flax ``{'params': …}``
+    — the inverse of `shard_unet_params`, so TP-TRAINED weights round-trip
+    into the single-device checkpoint format (trainer save/load, fused
+    kernels, torch export)."""
+    res, films_w = [], []
+    for s, r in zip(shd_tree["blocks"], rep_tree["blocks"]):
+        d = {
+            "w1": _cat(s["w1"], 2), "b1": _cat(s["b1"], 0),
+            "g1": _cat(s["g1"], 0), "be1": _cat(s["be1"], 0),
+            "w2": _cat(s["w2"], 1), "b2": r["b2"],
+            "g2": r["g2"], "be2": r["be2"],
+        }
+        if "wr" in r:
+            d["wr"], d["br"] = r["wr"], r["br"]
+        res.append(d)
+        films_w.append((_cat(s["fw"], 1), _cat(s["fb"], 0)))
+    w = {
+        "res": res, "films_w": films_w,
+        "downs": rep_tree["downs"], "ups": rep_tree["ups"],
+        "final_block": rep_tree["final_block"],
+        "final_1x1": rep_tree["final_1x1"], "time": rep_tree["time"],
+    }
+    return weights_to_params(model, w)
+
+
+def weights_to_params(model: TemporalUnet, w):
+    """Rebuild the flax param tree from the w-layout — exact inverse of
+    `ops.fused_unet._extract_weights` (round-trip tested)."""
+    p = {}
+    for i, (d, (fw, fb)) in enumerate(zip(w["res"], w["films_w"])):
+        rb = {
+            "Conv1dBlock_0": {
+                "Conv_0": {"kernel": d["w1"], "bias": d["b1"]},
+                "GroupNorm_0": {"scale": d["g1"], "bias": d["be1"]},
+            },
+            "Conv1dBlock_1": {
+                "Conv_0": {"kernel": d["w2"], "bias": d["b2"]},
+                "GroupNorm_0": {"scale": d["g2"], "bias": d["be2"]},
+            },
+            "Dense_0": {"kernel": fw, "bias": fb},
+        }
+        if "wr" in d:
+            rb["Conv_0"] = {"kernel": d["wr"][None], "bias": d["br"]}
+        p[f"ResidualTemporalBlock_{i}"] = rb
+    for i, (k, b) in enumerate(w["downs"]):
+        p[f"Downsample1d_{i}"] = {"Conv_0": {"kernel": k, "bias": b}}
+    for i, (k, b) in enumerate(w["ups"]):
+        p[f"Upsample1d_{i}"] = {"ConvTranspose_0": {"kernel": k, "bias": b}}
+    fw_, fb_, fg_, fbe_ = w["final_block"]
+    p["Conv1dBlock_0"] = {"Conv_0": {"kernel": fw_, "bias": fb_},
+                          "GroupNorm_0": {"scale": fg_, "bias": fbe_}}
+    k1, b1 = w["final_1x1"]
+    p["Conv_0"] = {"kernel": k1[None], "bias": b1}
+    p["TimeEncoder_0"] = w["time"]
+    return {"params": p}
+
+
+def make_local_forward(model: TemporalUnet, n_levels, groups_per_block,
+                       m: int, axis: str) -> Callable:
+    """Per-device TP forward ``f(x, time, context, context_mask, shd, rep)``
+    producing the FULL (B, H, out) output on every device (the per-block
+    psum re-materializes full activations). Differentiable — `tp_train.py`
+    takes grads through it under check_vma=True."""
 
     def local_fn(x, time, context, context_mask, shd, rep):
         t_emb = _time_embed(rep["time"], time, 32)
@@ -290,6 +365,28 @@ def make_tp_unet_apply(
                              group_norm_n_groups(model.unet_input_dim)))
         k1, b1 = rep["final_1x1"]
         return h @ k1 + b1
+
+    return local_fn
+
+
+def make_tp_unet_apply(
+    mesh: Mesh,
+    model: TemporalUnet,
+    params,
+    axis: str = "model",
+) -> Callable:
+    """Shard trained TemporalUnet ``params`` over ``mesh``'s ``axis`` and
+    return a jitted ``apply(x, time, context, context_mask) -> eps`` matching
+    ``model.apply(params, ...)`` to fp32 tolerance.
+
+    Requires ``mesh.shape[axis]`` to divide every block's GroupNorm group
+    count (8 for the standard widths), so norm statistics stay shard-local.
+    """
+    m = int(mesh.shape[axis])
+    shd_tree, rep_tree, groups_per_block, n_levels = shard_unet_params(
+        model, params, m
+    )
+    local_fn = make_local_forward(model, n_levels, groups_per_block, m, axis)
 
     sharded = shard_map(
         local_fn,
