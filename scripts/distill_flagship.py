@@ -40,6 +40,12 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--eval-seeds", type=int, default=10)
+    p.add_argument("--init-student", default=None,
+                   help="resume from a saved student .pkl (skips re-running "
+                        "earlier rounds); requires --init-times")
+    p.add_argument("--init-times", default=None,
+                   help="comma-separated DDIM grid of --init-student, e.g. "
+                        "'23,15,7' for the 3-eval student")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -135,12 +141,24 @@ def main():
     # other gradient (measured: cost ratio 4x with it, see ddim_time_grid).
     times = ddim_time_grid(25, t_start=23)
     cur_teacher = teacher_params
+    if args.init_student is not None:
+        # resume a deeper distillation from a saved student: the student
+        # becomes the next round's (conditional-only) teacher on its own grid
+        with open(args.init_student, "rb") as f:
+            cur_teacher = pickle.load(f)
+        times = [int(t) for t in args.init_times.split(",")]
+        report["init_student"] = args.init_student
+        print(f"[init] resuming from {args.init_student} on grid {times}",
+              flush=True)
     optimizer = make_optimizer(lr=args.lr)
     for r in range(args.rounds):
         t0 = time.time()
         step_fn, student_times = make_distill_step(
             schedule, model.apply, optimizer, cur_teacher, times,
-            w=args.w, teacher_cfg=(r == 0),
+            w=args.w,
+            # CFG only in the very first round of a from-scratch run; a
+            # resumed student teacher is already conditional-only
+            teacher_cfg=(r == 0 and args.init_student is None),
         )
         chunk_fn = make_scanned_train_steps(step_fn, args.chunk)
         chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))

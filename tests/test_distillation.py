@@ -204,3 +204,47 @@ def test_distill_guide_hook_gating():
     assert np.isfinite(l_guided)
     assert abs(l_off - l_plain) < 1e-6, "t_start_guide=-1 must be a no-op"
     assert abs(l_guided - l_plain) > 1e-6, "guide must shift the targets"
+
+
+def test_distill_to_single_eval_grid():
+    """The deep end of progressive distillation: grids [9,6,3] -> [9,3] ->
+    [9] stay well-formed (pair tables, coefs) and a ONE-eval student's
+    sampler runs a single U-Net pass straight to the final recon — the
+    machinery behind scripts/distill_flagship.py --init-student."""
+    model, params = _tiny_model()
+    schedule = make_schedule("exponential", 10)
+
+    # 3-eval -> 2-eval round
+    optimizer = make_optimizer(lr=1e-3)
+    step_fn, times2 = make_distill_step(
+        schedule, model.apply, optimizer, params, [9, 6, 3], w=0.0,
+        teacher_cfg=False,
+    )
+    assert times2 == [9, 3]
+    # 2-eval -> 1-eval round
+    step_fn1, times1 = make_distill_step(
+        schedule, model.apply, optimizer, params, times2, w=0.0,
+        teacher_cfg=False,
+    )
+    assert times1 == [9]
+
+    # both rounds' steps run and produce finite losses
+    rng = np.random.RandomState(7)
+    x0 = jnp.asarray(rng.randn(16, 8, 1), jnp.float32).clip(-1, 1)
+    ctx = jnp.asarray(rng.randn(16, 3), jnp.float32)
+    for fn in (step_fn, step_fn1):
+        state = TrainState(
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=optimizer.init(params),
+            step=jnp.int32(0),
+        )
+        _, metrics = jax.jit(fn)(state, x0, ctx, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+    # the 1-eval sampler: one pass, lands on a clipped final recon
+    sampler = make_student_ddim_sampler(schedule, model.apply, times1)
+    out = sampler(params, ctx[:2], jax.random.PRNGKey(2), (2, 8, 1))
+    assert out.shape == (2, 8, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
