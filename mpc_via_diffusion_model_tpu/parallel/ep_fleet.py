@@ -39,15 +39,27 @@ __all__ = ["stack_experts", "make_ep_fleet_eval"]
 
 def stack_experts(mesh: Mesh, params_list, axis: str = "ep"):
     """Stack per-expert param pytrees along a new leading E axis and place
-    the stack sharded over ``mesh``'s ``axis`` (each device materializes only
-    its own experts' weights)."""
-    stacked = jax.tree_util.tree_map(
-        lambda *leaves: jax.numpy.stack(leaves), *params_list
-    )
+    the stack sharded over ``mesh``'s ``axis``.
+
+    Each device materializes ONLY its own experts' shard (built host-side
+    per device via `make_array_from_callback`) — the full (E, ...) stack
+    never exists on any single chip, which is the point of EP: a fleet
+    whose total weights exceed one chip's HBM still loads."""
+    import numpy as np
+
+    n_experts = len(params_list)
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), stacked
-    )
+
+    def stack_leaf(*leaves):
+        global_shape = (n_experts,) + tuple(np.shape(leaves[0]))
+
+        def shard_for(index):
+            lo, hi, _ = index[0].indices(n_experts)
+            return np.stack([np.asarray(leaves[e]) for e in range(lo, hi)])
+
+        return jax.make_array_from_callback(global_shape, sharding, shard_for)
+
+    return jax.tree_util.tree_map(stack_leaf, *params_list)
 
 
 def make_ep_fleet_eval(mesh: Mesh, fn: Callable, axis: str = "ep") -> Callable:

@@ -119,15 +119,22 @@ def make_pp_cfg_sampler(
         out, _ = jax.lax.scan(body, slot, (my_steps, noise_slab))
         return out
 
-    def device_fn(contexts, all_noise):
-        # contexts: (R, B, ctx) replicated; all_noise: (R, n_total+1)+shape
+    def device_fn(contexts, keys):
+        # contexts: (R, B, ctx) replicated; keys: (R, ...) replicated.
+        # Noise is generated ON DEMAND per round from the active request's
+        # key — the same full (n_total+1)+shape normal draw as
+        # `ddpm_cfg_sample`, sliced to this stage's window — so each device
+        # holds one transient slab instead of a resident R x (n_total+1)
+        # buffer (which would grow with the stream length R and defeat the
+        # memory point of pipelining). Values stay bit-identical to the
+        # sequential sampler's convention.
         R = contexts.shape[0]
         stage = jax.lax.axis_index(axis)
         is_first = stage == 0
         is_last = stage == S - 1
 
-        slot0 = jnp.zeros(shape, all_noise.dtype)
-        out0 = jnp.zeros((R,) + shape, all_noise.dtype)
+        slot0 = jnp.zeros(shape, jnp.float32)
+        out0 = jnp.zeros((R,) + shape, jnp.float32)
 
         def round_body(r, carry):
             slot, slot_idx, out = carry
@@ -135,13 +142,18 @@ def make_pp_cfg_sampler(
             inj = jnp.logical_and(is_first, r < R)
             req = jnp.minimum(r, R - 1)
             slot_idx = jnp.where(inj, req, slot_idx)
-            slot = jnp.where(inj, all_noise[req, 0], slot)
 
-            # (2) compute this stage's step window (masked when empty)
+            # (2) compute this stage's step window (masked when empty).
+            # After injection slot_idx == req on stage 0, so one key index
+            # serves both the init slab and the step window.
             valid = slot_idx >= 0
             safe = jnp.maximum(slot_idx, 0)
+            noise_full = jax.random.normal(
+                keys[safe], (n_total + 1,) + tuple(shape), jnp.float32
+            )
+            slot = jnp.where(inj, noise_full[0], slot)
             noise_slab = jax.lax.dynamic_slice_in_dim(
-                all_noise[safe], 1 + stage * k_per_stage, k_per_stage, axis=0
+                noise_full, 1 + stage * k_per_stage, k_per_stage, axis=0
             )
             done = _stage_steps(slot, noise_slab, contexts[safe], stage)
             slot = jnp.where(valid, done, slot)
@@ -178,10 +190,6 @@ def make_pp_cfg_sampler(
     )
 
     def sample(contexts, keys):
-        all_noise = jax.vmap(
-            lambda k: jax.random.normal(k, (n_total + 1,) + tuple(shape),
-                                        jnp.float32)
-        )(keys)
-        return sharded(contexts, all_noise)
+        return sharded(contexts, keys)
 
     return jax.jit(sample)

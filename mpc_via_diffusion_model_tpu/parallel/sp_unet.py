@@ -55,7 +55,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.layers import group_norm_n_groups, mish
 from ..models.temporal_unet import TemporalUnet
 from ..ops.fused_unet import _extract_weights
-from .tp_unet import _cond_vector, _conv1d, _time_embed
+from .tp_unet import _cond_vector, _conv1d, _time_embed, unet_traverse
 
 __all__ = ["make_sp_unet_apply"]
 
@@ -176,38 +176,31 @@ def make_sp_unet_apply(
         c_emb = _cond_vector(model, t_emb, context, context_mask,
                              x.shape[0], x.dtype)
 
-        ridx = 0
-
-        def rb(h):
-            nonlocal ridx
+        def resblock(ridx, h):
             d, (fw, fb) = w["res"][ridx], w["films_w"][ridx]
             cout = d["w1"].shape[-1]
-            out = _resblock_sp(d, fw, fb, h, c_emb,
-                               group_norm_n_groups(cout), S, axis)
-            ridx += 1
-            return out
+            return _resblock_sp(d, fw, fb, h, c_emb,
+                                group_norm_n_groups(cout), S, axis)
 
-        h, skips = x, []
-        for ind in range(n_levels):
-            h = rb(rb(h))
-            skips.append(h)
-            if ind < n_levels - 1:
-                dw, db = w["downs"][ind]
-                h = _down_sp(h, dw, db, S, axis)
-        h = rb(rb(h))
-        for ind in range(n_levels - 1):
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = rb(rb(h))
+        def down(ind, h):
+            dw, db = w["downs"][ind]
+            return _down_sp(h, dw, db, S, axis)
+
+        def up(ind, h):
             uw, ub = w["ups"][ind]
-            h = _up_sp(h, uw, ub, S, axis)
+            return _up_sp(h, uw, ub, S, axis)
 
-        fw_, fb_, fg_, fbe_ = w["final_block"]
-        h = _conv_sp(h, fw_, fb_, S, axis)
-        h = mish(_group_norm_sp(h, fg_, fbe_,
-                                group_norm_n_groups(model.unet_input_dim),
-                                S, axis))
-        k1, b1 = w["final_1x1"]
-        return h @ k1 + b1
+        def final(h):
+            fw_, fb_, fg_, fbe_ = w["final_block"]
+            h = _conv_sp(h, fw_, fb_, S, axis)
+            h = mish(_group_norm_sp(h, fg_, fbe_,
+                                    group_norm_n_groups(model.unet_input_dim),
+                                    S, axis))
+            k1, b1 = w["final_1x1"]
+            return h @ k1 + b1
+
+        return unet_traverse(n_levels, x, resblock=resblock, down=down,
+                             up=up, final=final)
 
     seq_spec = P(None, axis, None)
     sharded = shard_map(

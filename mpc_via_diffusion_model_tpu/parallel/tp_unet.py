@@ -60,10 +60,43 @@ from ..ops.fused_unet import _extract_weights
 __all__ = [
     "make_tp_unet_apply",
     "unet_apply_functional",
+    "unet_traverse",
     "shard_unet_params",
     "gather_tp_params",
     "weights_to_params",
 ]
+
+
+def unet_traverse(n_levels: int, x, *, resblock, down, up, final):
+    """The TemporalUnet down/mid/up traversal skeleton, shared by every
+    functional forward in this package (single-device, channel-sharded TP,
+    horizon-sharded SP) so the parity-critical structure lives in ONE place.
+
+    ``resblock(ridx, h)`` applies ResidualTemporalBlock number ``ridx`` (the
+    flat index that `ops.fused_unet._extract_weights` orders blocks by);
+    ``down(level, h)`` / ``up(level, h)`` re-sample between levels;
+    ``final(h)`` is the output head. Matches `models.temporal_unet
+    .TemporalUnet.__call__` (reference `temporal_unet.py:302-356`)."""
+    ridx = 0
+
+    def rb(h):
+        nonlocal ridx
+        h = resblock(ridx, h)
+        ridx += 1
+        return h
+
+    h, skips = x, []
+    for ind in range(n_levels):
+        h = rb(rb(h))
+        skips.append(h)
+        if ind < n_levels - 1:
+            h = down(ind, h)
+    h = rb(rb(h))
+    for ind in range(n_levels - 1):
+        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        h = rb(rb(h))
+        h = up(ind, h)
+    return final(h)
 
 
 # --------------------------------------------------------------------------- #
@@ -149,35 +182,28 @@ def unet_apply_functional(model: TemporalUnet, params, x, time,
     t_emb = _time_embed(w["time"], time, 32)
     c_emb = _cond_vector(model, t_emb, context, context_mask, x.shape[0], x.dtype)
 
-    ridx = 0
-
-    def rb(h):
-        nonlocal ridx
+    def resblock(ridx, h):
         d, (fw, fb) = w["res"][ridx], w["films_w"][ridx]
         cout = d["w1"].shape[-1]
-        h = _resblock_full(d, fw, fb, h, c_emb, group_norm_n_groups(cout))
-        ridx += 1
-        return h
+        return _resblock_full(d, fw, fb, h, c_emb, group_norm_n_groups(cout))
 
-    h, skips = x, []
-    for ind in range(n_levels):
-        h = rb(rb(h))
-        skips.append(h)
-        if ind < n_levels - 1:
-            dw, db = w["downs"][ind]
-            h = _conv1d(h, dw, db, stride=2, padding=[(1, 1)])
-    h = rb(rb(h))
-    for ind in range(n_levels - 1):
-        h = jnp.concatenate([h, skips.pop()], axis=-1)
-        h = rb(rb(h))
+    def down(ind, h):
+        dw, db = w["downs"][ind]
+        return _conv1d(h, dw, db, stride=2, padding=[(1, 1)])
+
+    def up(ind, h):
         uw, ub = w["ups"][ind]
-        h = _conv_transpose1d(h, uw, ub)
+        return _conv_transpose1d(h, uw, ub)
 
-    fw_, fb_, fg_, fbe_ = w["final_block"]
-    h = mish(_group_norm(_conv1d(h, fw_, fb_), fg_, fbe_,
-                         group_norm_n_groups(model.unet_input_dim)))
-    k1, b1 = w["final_1x1"]
-    return h @ k1 + b1
+    def final(h):
+        fw_, fb_, fg_, fbe_ = w["final_block"]
+        h = mish(_group_norm(_conv1d(h, fw_, fb_), fg_, fbe_,
+                             group_norm_n_groups(model.unet_input_dim)))
+        k1, b1 = w["final_1x1"]
+        return h @ k1 + b1
+
+    return unet_traverse(n_levels, x, resblock=resblock, down=down, up=up,
+                         final=final)
 
 
 # --------------------------------------------------------------------------- #
@@ -337,34 +363,28 @@ def make_local_forward(model: TemporalUnet, n_levels, groups_per_block,
         t_emb = _time_embed(rep["time"], time, 32)
         c_emb = _cond_vector(model, t_emb, context, context_mask,
                              x.shape[0], x.dtype)
-        ridx = 0
 
-        def rb(h):
-            nonlocal ridx
-            h = _resblock_tp(shd["blocks"][ridx], rep["blocks"][ridx], h,
-                             c_emb, groups_per_block[ridx], m, axis)
-            ridx += 1
-            return h
+        def resblock(ridx, h):
+            return _resblock_tp(shd["blocks"][ridx], rep["blocks"][ridx], h,
+                                c_emb, groups_per_block[ridx], m, axis)
 
-        h, skips = x, []
-        for ind in range(n_levels):
-            h = rb(rb(h))
-            skips.append(h)
-            if ind < n_levels - 1:
-                dw, db = rep["downs"][ind]
-                h = _conv1d(h, dw, db, stride=2, padding=[(1, 1)])
-        h = rb(rb(h))
-        for ind in range(n_levels - 1):
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = rb(rb(h))
+        def down(ind, h):
+            dw, db = rep["downs"][ind]
+            return _conv1d(h, dw, db, stride=2, padding=[(1, 1)])
+
+        def up(ind, h):
             uw, ub = rep["ups"][ind]
-            h = _conv_transpose1d(h, uw, ub)
+            return _conv_transpose1d(h, uw, ub)
 
-        fw_, fb_, fg_, fbe_ = rep["final_block"]
-        h = mish(_group_norm(_conv1d(h, fw_, fb_), fg_, fbe_,
-                             group_norm_n_groups(model.unet_input_dim)))
-        k1, b1 = rep["final_1x1"]
-        return h @ k1 + b1
+        def final(h):
+            fw_, fb_, fg_, fbe_ = rep["final_block"]
+            h = mish(_group_norm(_conv1d(h, fw_, fb_), fg_, fbe_,
+                                 group_norm_n_groups(model.unet_input_dim)))
+            k1, b1 = rep["final_1x1"]
+            return h @ k1 + b1
+
+        return unet_traverse(n_levels, x, resblock=resblock, down=down,
+                             up=up, final=final)
 
     return local_fn
 

@@ -48,6 +48,8 @@ def main():
                         "'23,15,7' for the 3-eval student")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    if (args.init_student is None) != (args.init_times is None):
+        p.error("--init-student and --init-times must be given together")
 
     import jax
     if args.cpu:
@@ -114,18 +116,22 @@ def main():
         costs = np.asarray(runs.stage_costs.sum(axis=1))
         return float(costs.mean()), float(costs.min()), float(costs.max())
 
-    # teacher baseline (CFG DDPM 25+5) for reference
-    loop_teacher = jax.jit(make_closed_loop(
-        diffusion, model.apply, ds.normalizer.stats["inputs"],
-        ds.normalizer.stats["condition"], plant, cost,
-        horizon=args.horizon, n_steps=n_eval_steps, w=args.w,
-        n_diffusion_steps_without_noise=5,
-    ))
-    keys = jax.random.split(jax.random.PRNGKey(11), args.eval_seeds)
-    t_runs = jax.jit(jax.vmap(lambda k: loop_teacher(teacher_params, x0_eval, k)))(keys)
-    teacher_cost = float(np.asarray(t_runs.stage_costs.sum(axis=1)).mean())
-    print(f"[teacher] closed-loop cost {teacher_cost:.1f} "
-          f"({teacher_cost / expert_cost:.4f}x expert)", flush=True)
+    # teacher baseline (CFG DDPM 25+5) for reference — skipped on resume,
+    # where the original run's report already recorded it and the 30-eval
+    # teacher loop costs minutes of remote compile
+    teacher_cost = None
+    if args.init_student is None:
+        loop_teacher = jax.jit(make_closed_loop(
+            diffusion, model.apply, ds.normalizer.stats["inputs"],
+            ds.normalizer.stats["condition"], plant, cost,
+            horizon=args.horizon, n_steps=n_eval_steps, w=args.w,
+            n_diffusion_steps_without_noise=5,
+        ))
+        keys = jax.random.split(jax.random.PRNGKey(11), args.eval_seeds)
+        t_runs = jax.jit(jax.vmap(lambda k: loop_teacher(teacher_params, x0_eval, k)))(keys)
+        teacher_cost = float(np.asarray(t_runs.stage_costs.sum(axis=1)).mean())
+        print(f"[teacher] closed-loop cost {teacher_cost:.1f} "
+              f"({teacher_cost / expert_cost:.4f}x expert)", flush=True)
 
     report = {
         "teacher": args.teacher,
@@ -147,6 +153,12 @@ def main():
         with open(args.init_student, "rb") as f:
             cur_teacher = pickle.load(f)
         times = [int(t) for t in args.init_times.split(",")]
+        if any(t < 0 or t >= schedule.n_steps for t in times):
+            raise SystemExit(f"--init-times entries must be in "
+                             f"[0, {schedule.n_steps}): got {times}")
+        if times != sorted(times, reverse=True):
+            raise SystemExit(f"--init-times must be strictly decreasing "
+                             f"(DDIM grid, high t first): got {times}")
         report["init_student"] = args.init_student
         print(f"[init] resuming from {args.init_student} on grid {times}",
               flush=True)
