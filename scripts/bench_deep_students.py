@@ -1,0 +1,118 @@
+"""Benchmark deeply-distilled flagship students (2-eval / 1-eval) on TPU.
+
+Walks a distillation artifact dir (scripts/distill_flagship.py --out ...;
+the deep grids come from --init-student resume, e.g. [23,15,7] -> [23,7]
+-> [23]) and, for every round recorded in its report.json, runs the
+student through the whole-EPISODE Pallas kernel
+(`ops.fused_episode.make_fused_ddim_episode`) at:
+
+- the 80-step protocol with pipelined dispatch (bench.py's headline shape),
+- the sustained one-long-episode protocol (800 steps in ONE dispatch —
+  the stable number, BENCH.md "Measurement note"),
+
+and reports the closed-loop cost ratio vs the report's iLQR expert. One
+JSON line per (student, protocol) row.
+
+Usage: python scripts/bench_deep_students.py --art artifacts/distilled_deep
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--art", default="artifacts/distilled_deep")
+    p.add_argument("--teacher", default="artifacts/flagship_modality")
+    p.add_argument("--horizon", type=int, default=64)
+    p.add_argument("--steps", type=int, default=80,
+                   help="protocol episode length (pipelined row)")
+    p.add_argument("--sustained-steps", type=int, default=800)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from mpc_via_diffusion_model_tpu.data.datasets import ControlSequenceDataset
+    from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
+    from mpc_via_diffusion_model_tpu.dynamics import (
+        cartpole_virtual_collect_cost, get_plant, theta_to_red_theta,
+    )
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.ops.fused_episode import make_fused_ddim_episode
+
+    with open(os.path.join(args.art, "report.json")) as f:
+        report = json.load(f)
+    expert_cost = report["expert_cost"]
+
+    plant, _ = get_plant("cartpole_virtual_swingup")
+    cost = cartpole_virtual_collect_cost()
+    ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
+    in_stats = ds.normalizer.stats["inputs"]
+    c_stats = ds.normalizer.stats["condition"]
+    model = TemporalUnet(
+        state_dim=1, n_support_points=args.horizon, unet_input_dim=32,
+        dim_mults=UNET_DIM_MULTS[0], context_dim=5, conditioning_type="default",
+        cfg_indicator=True,
+    )
+    schedule = make_schedule("exponential", 25)
+    x0 = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
+    key = jax.random.PRNGKey(0)
+
+    for rec in report["rounds"]:
+        times = rec["times"]
+        pkl = os.path.join(args.art, f"student_{len(times)}eval.pkl")
+        with open(pkl, "rb") as f:
+            params = pickle.load(f)
+
+        episode = jax.jit(make_fused_ddim_episode(
+            model, params, schedule, times, in_stats, c_stats, plant, cost,
+            n_steps=args.steps))
+        jax.block_until_ready(episode(x0, key))
+        dts = []
+        for b in range(3):
+            t0 = time.perf_counter()
+            outs = [episode(x0, jax.random.fold_in(key, 50 * b + i))
+                    for i in range(8)]
+            jax.block_until_ready(outs)
+            dts.append((time.perf_counter() - t0) / 8)
+        _, _, costs = episode(x0, key)
+        print(json.dumps({
+            "metric": f"deep_distilled_{len(times)}eval_fused_episode_hz",
+            "value": round(args.steps / min(dts), 1), "unit": "Hz",
+            "times": times,
+            "cost_ratio_vs_expert": round(float(jnp.sum(costs)) / expert_cost, 4),
+            "report_cost_ratio": round(rec["cost_ratio_vs_expert"], 4),
+        }), flush=True)
+
+        ep_long = jax.jit(make_fused_ddim_episode(
+            model, params, schedule, times, in_stats, c_stats, plant, cost,
+            n_steps=args.sustained_steps))
+        jax.block_until_ready(ep_long(x0, key))
+        reps = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(ep_long(x0, jax.random.fold_in(key, r)))
+            reps.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": f"deep_distilled_{len(times)}eval_sustained_hz",
+            "value": round(args.sustained_steps / min(reps), 1), "unit": "Hz",
+            "times": times,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
