@@ -17,4 +17,5 @@ from .guides import (
     multi_sphere_obstacle_guide,
     se3_orientation_goal_guide,
     control_effort_guide,
+    stochgpmp_guide,
 )

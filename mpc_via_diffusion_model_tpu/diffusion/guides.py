@@ -51,6 +51,7 @@ __all__ = [
     "multi_sphere_obstacle_guide",
     "se3_orientation_goal_guide",
     "control_effort_guide",
+    "stochgpmp_guide",
 ]
 
 RewardFn = Callable[[jnp.ndarray], jnp.ndarray]
@@ -244,6 +245,84 @@ def se3_orientation_goal_guide(
         return -jnp.sqrt(w_rot) * jnp.sum(ang, axis=-1)
 
     return reward
+
+
+def stochgpmp_guide(
+    rewards: Sequence[Tuple[RewardFn, float]],
+    key,
+    num_samples: int = 16,
+    sigma: float = 0.1,
+    lengthscale: int = 5,
+    temperature: float = 1.0,
+    step_size: float = 0.05,
+    unnormalize_fn: Optional[Callable] = None,
+    zero_endpoints: bool = True,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """One step of STOCHASTIC GPMP as a sampler guide — the derivative-free
+    counterpart of `make_guide` (reference ``GuideStochGPMP.plan_sgpmp``,
+    `guides.py:630-752`: one ``sgpmp_opt_iters=1`` update of a
+    sampling-based planner over a CostGP + goal-prior + collision
+    composite, returned as the per-step guide 'gradient').
+
+    TPU-native form: draw ``num_samples`` GP-smooth perturbations around the
+    current trajectory (white noise filtered along the horizon with a
+    length-``lengthscale`` boxcar — the smoothness role of the reference's
+    CostGP proposal), score each perturbed trajectory with the weighted
+    reward composite, softmax-weight at ``temperature``, and step toward the
+    reward-weighted mean perturbation. Everything is one fused batch of
+    reward evals — no autodiff through the rewards, so it also guides
+    non-differentiable costs. Antithetic pairs (+/- eps) keep the estimator
+    unbiased at quadratic order.
+
+    The sampler's guide hook is a pure function of the trajectory, so the
+    per-call randomness is derived counter-style from ``key`` and the
+    trajectory bits (deterministic per input, fresh across denoise steps).
+    """
+    base_key = key
+
+    def total_reward(x):
+        xs = unnormalize_fn(x) if unnormalize_fn is not None else x
+        out = 0.0
+        for fn, w in rewards:
+            out = out + w * fn(xs)
+        return out  # (...batch,)
+
+    def guide(x_norm: jnp.ndarray) -> jnp.ndarray:
+        b, h, d = x_norm.shape
+        # counter-style per-call key: same x -> same delta (jit-pure), new
+        # denoise step -> new draws
+        tag = jnp.sum(jax.lax.bitcast_convert_type(x_norm, jnp.int32),
+                      dtype=jnp.int32)
+        k = jax.random.fold_in(base_key, tag)
+        half = max(1, num_samples // 2)
+        eps = jax.random.normal(k, (half, b, h, d), x_norm.dtype)
+        # GP-smooth along the horizon: boxcar filter, 'same' padding
+        kern = jnp.ones((lengthscale,), x_norm.dtype) / float(lengthscale)
+        eps = _boxcar_smooth(eps, kern)
+        eps = jnp.concatenate([eps, -eps], axis=0) * sigma  # antithetic
+        cand = x_norm[None] + eps                            # (K, B, H, D)
+        r = jax.vmap(total_reward)(cand)                     # (K, B)
+        w_soft = jax.nn.softmax(r / temperature, axis=0)     # over samples
+        delta = jnp.einsum("kb,kbhd->bhd", w_soft, eps)
+        if zero_endpoints:
+            delta = delta.at[:, 0, :].set(0.0)
+            delta = delta.at[:, -1, :].set(0.0)
+        return step_size * delta
+
+    return guide
+
+
+def _boxcar_smooth(eps, kern):
+    """Filter (K, B, H, D) noise along H with a 1-D kernel ('same')."""
+    k = kern.shape[0]
+    kk, b, h, d = eps.shape
+    x = eps.transpose(0, 1, 3, 2).reshape(kk * b * d, h, 1)
+    w = kern[:, None, None]  # (k, in=1, out=1)
+    y = jax.lax.conv_general_dilated(
+        x, w, (1,), [(k // 2, (k - 1) // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y.reshape(kk, b, d, h).transpose(0, 1, 3, 2)
 
 
 def control_effort_guide(scale: float = 1e-7) -> Callable[[jnp.ndarray], jnp.ndarray]:

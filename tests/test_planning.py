@@ -20,6 +20,7 @@ from mpc_via_diffusion_model_tpu.diffusion import (
     smoothness_finite_difference_guide,
     state_goal_guide,
     control_effort_guide,
+    stochgpmp_guide,
 )
 from mpc_via_diffusion_model_tpu.envs import ENV_SIMPLE_2D, PlanningEnv2D, make_random_env
 from mpc_via_diffusion_model_tpu.eval import get_best_index, planning_metrics
@@ -257,3 +258,30 @@ def test_se3_orientation_goal_guide():
     assert g.shape == x_off.shape
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_stochgpmp_guide_one_step():
+    """Sampling-based one-step GPMP guide (reference GuideStochGPMP,
+    guides.py:630-752): derivative-free, moves toward higher reward,
+    endpoint-protected, deterministic per input, jit-safe."""
+    reward = lambda x: -jnp.sum(jnp.square(x), axis=(-1, -2))  # goal = origin
+    guide = stochgpmp_guide(
+        [(reward, 1.0)], jax.random.PRNGKey(3),
+        num_samples=64, sigma=0.2, step_size=1.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 16, 2)) * 1.5
+    g = guide(x)
+    assert g.shape == x.shape
+    np.testing.assert_allclose(np.asarray(g)[:, 0, :], 0.0)
+    np.testing.assert_allclose(np.asarray(g)[:, -1, :], 0.0)
+    # the softmin step points toward the origin (reward increases)
+    assert float(jnp.vdot(g[:, 1:-1], -x[:, 1:-1])) > 0
+    # pure function of the input (counter-style RNG)
+    np.testing.assert_allclose(np.asarray(guide(x)), np.asarray(g))
+    # jit-compatible (no data-dependent python control flow)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(guide)(x)), np.asarray(g), atol=1e-6)
+    # actually improves the reward when applied
+    r0 = float(jnp.sum(reward(x)))
+    r1 = float(jnp.sum(reward(x + g)))
+    assert r1 > r0
