@@ -172,3 +172,36 @@ def test_episode_no_cfg_indicator():
     xtr, utr, costs = episode(jnp.array([1.0, -0.5]), jax.random.PRNGKey(1))
     assert xtr.shape == (4, 2) and utr.shape == (3, 1) and costs.shape == (3,)
     assert np.all(np.isfinite(np.asarray(xtr)))
+
+
+def test_episode_single_eval_grid():
+    """The deep-distillation endpoint: a ONE-eval student (times=[9]) runs
+    the whole episode kernel and matches the per-replan XLA loop — the
+    config scripts/distill_flagship.py --init-student produces and
+    scripts/bench_deep_students.py benches."""
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    times = [9]
+    n_steps = 4
+
+    chain = make_fused_ddim_chain(model, params, schedule, times, n_samples=1,
+                                  interpret=True)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, sample_override=chain)
+
+    episode = make_fused_ddim_episode(
+        model, params, schedule, times, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, interpret=True)
+
+    x0 = jnp.array([2.5, 0.0])
+    key = jax.random.PRNGKey(7)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.stage_costs),
+                               rtol=1e-4, atol=1e-4)
