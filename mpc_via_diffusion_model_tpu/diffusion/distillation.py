@@ -303,17 +303,22 @@ def make_student_ddim_sampler(
     the per-step x0 reconstruction to [-1, 1], matching both the distill
     targets and the DDPM sampler the teacher was validated under.
 
-    Returns ``sample(params, context, key, shape) -> x`` with
-    shape = (n_samples, horizon, d)."""
+    Returns ``sample(params, context, key, shape, x_init=None) -> x`` with
+    shape = (n_samples, horizon, d). The chain is DETERMINISTIC given the
+    initial draw; pass ``x_init`` (broadcastable to ``shape``) to pin it —
+    e.g. ONE shared draw across a batch of contexts, which makes the
+    sampler a mode-consistent function of the context (the property policy
+    amortization needs, scripts/amortize_flagship.py)."""
     C = ddim_affine_coefs(schedule, times)
     t_tab = jnp.asarray(C["t"], jnp.int32)
     sra, srm = jnp.asarray(C["sra"]), jnp.asarray(C["srm"])
     c1, c2 = jnp.asarray(C["c1"]), jnp.asarray(C["c2"])
     n = len(C["t"])
 
-    def sample(params, context, key, shape):
+    def sample(params, context, key, shape, x_init=None):
         b = shape[0]
-        x = jax.random.normal(key, shape, jnp.float32)
+        x = (jax.random.normal(key, shape, jnp.float32) if x_init is None
+             else jnp.broadcast_to(x_init, shape).astype(jnp.float32))
         mask = jnp.zeros((b, 1), jnp.float32)
 
         def body(x, i):

@@ -15,14 +15,19 @@ __all__ = ["AMPCNet"]
 
 
 class AMPCNet(nn.Module):
+    """``hidden`` defaults to the reference's exact (2, 50, 50) stack —
+    including its 2-unit bottleneck first layer; pass wider widths for the
+    capacity-unconstrained variant (scripts/amortize_flagship.py)."""
+
     horizon: int
     control_dim: int = 1
+    hidden: tuple = (2, 50, 50)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, state_dim) normalized -> (B, horizon, control_dim) normalized."""
-        h = jnp.tanh(nn.Dense(2)(x))
-        h = jnp.tanh(nn.Dense(50)(h))
-        h = jnp.tanh(nn.Dense(50)(h))
+        h = x
+        for width in self.hidden:
+            h = jnp.tanh(nn.Dense(width)(h))
         h = nn.Dense(self.horizon * self.control_dim)(h)
         return h.reshape(x.shape[0], self.horizon, self.control_dim)
