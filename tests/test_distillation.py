@@ -248,3 +248,26 @@ def test_distill_to_single_eval_grid():
     assert out.shape == (2, 8, 1)
     assert np.all(np.isfinite(np.asarray(out)))
     assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
+
+
+def test_student_sampler_fixed_init_mode_consistency():
+    """x_init pins the DDIM chain's only stochasticity: same init -> same
+    output (the amortization property, scripts/amortize_flagship.py); a
+    different init changes the output; omitted init draws from the key."""
+    model, params = _tiny_model()
+    schedule = make_schedule("exponential", 10)
+    sampler = make_student_ddim_sampler(schedule, model.apply, [9, 5, 2])
+    ctx = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    eps0 = jax.random.normal(jax.random.PRNGKey(42), (1, 8, 1))
+
+    a = sampler(params, ctx, jax.random.PRNGKey(1), (4, 8, 1), x_init=eps0)
+    b = sampler(params, ctx, jax.random.PRNGKey(2), (4, 8, 1), x_init=eps0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))  # key ignored
+
+    c = sampler(params, ctx, jax.random.PRNGKey(1), (4, 8, 1),
+                x_init=eps0 + 1.0)
+    assert float(jnp.max(jnp.abs(a - c))) > 1e-6
+
+    d = sampler(params, ctx, jax.random.PRNGKey(1), (4, 8, 1))
+    e = sampler(params, ctx, jax.random.PRNGKey(1), (4, 8, 1))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(e))
