@@ -32,6 +32,9 @@ def main():
     p.add_argument("--horizon", type=int, default=64)
     p.add_argument("--steps", type=int, default=80)
     p.add_argument("--sustained-steps", type=int, default=800)
+    p.add_argument("--fleet", type=int, default=256,
+                   help="serving-fleet size for the aggregate steps/s row "
+                        "(0 disables)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -105,6 +108,28 @@ def main():
             "metric": f"amortized_{name}_sustained_hz",
             "value": round(args.sustained_steps / min(reps), 1), "unit": "Hz",
         }), flush=True)
+
+        # serving: a fleet of independent MLP control loops (vmapped over
+        # starts) — aggregate control-steps/s one chip serves at 0 evals
+        if args.fleet > 0:
+            import numpy as _np
+
+            x0f = _np.tile(np.asarray(x0)[None], (args.fleet, 1))
+            x0f[:, 0] += _np.random.RandomState(5).uniform(
+                -0.5, 0.5, args.fleet)
+            x0f = jnp.asarray(x0f, jnp.float32)
+            fleet = jax.jit(jax.vmap(lambda s: loop_long(params, s)))
+            jax.block_until_ready(fleet(x0f).x_track)
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fleet(x0f).x_track)
+                reps.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": f"amortized_{name}_fleet{args.fleet}_steps_per_sec",
+                "value": round(args.fleet * args.sustained_steps / min(reps), 0),
+                "unit": "steps/s",
+            }), flush=True)
 
 
 if __name__ == "__main__":
