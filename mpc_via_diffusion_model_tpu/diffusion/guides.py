@@ -277,7 +277,14 @@ def stochgpmp_guide(
     The sampler's guide hook is a pure function of the trajectory, so the
     per-call randomness is derived counter-style from ``key`` and the
     trajectory bits (deterministic per input, fresh across denoise steps).
+
+    ``num_samples`` must be even (antithetic pairs): the guide evaluates the
+    reward on exactly ``num_samples`` candidates, half of them mirrored.
     """
+    if num_samples < 2 or num_samples % 2 != 0:
+        raise ValueError(
+            f"stochgpmp_guide needs an even num_samples >= 2 (antithetic "
+            f"+/-eps pairs); got {num_samples}")
     base_key = key
 
     def total_reward(x):
@@ -294,7 +301,7 @@ def stochgpmp_guide(
         tag = jnp.sum(jax.lax.bitcast_convert_type(x_norm, jnp.int32),
                       dtype=jnp.int32)
         k = jax.random.fold_in(base_key, tag)
-        half = max(1, num_samples // 2)
+        half = num_samples // 2
         eps = jax.random.normal(k, (half, b, h, d), x_norm.dtype)
         # GP-smooth along the horizon: boxcar filter, 'same' padding
         kern = jnp.ones((lengthscale,), x_norm.dtype) / float(lengthscale)

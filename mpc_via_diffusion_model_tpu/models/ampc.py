@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils.precision import HIGHEST
+
 __all__ = ["AMPCNet"]
 
 
@@ -26,8 +28,12 @@ class AMPCNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, state_dim) normalized -> (B, horizon, control_dim) normalized."""
+        # fp32 matmuls: this net IS the controller (its output feeds the
+        # plant directly), so the TPU bf16 matmul default corrupts the
+        # closed loop — same policy as utils.precision.hmatmul. The few-kB
+        # Dense layers gain nothing from bf16 anyway.
         h = x
         for width in self.hidden:
-            h = jnp.tanh(nn.Dense(width)(h))
-        h = nn.Dense(self.horizon * self.control_dim)(h)
+            h = jnp.tanh(nn.Dense(width, precision=HIGHEST)(h))
+        h = nn.Dense(self.horizon * self.control_dim, precision=HIGHEST)(h)
         return h.reshape(x.shape[0], self.horizon, self.control_dim)

@@ -1,4 +1,5 @@
 from .config import ModelConfig, DiffusionConfig, TrainConfig, ExperimentConfig
+from .regression import fit_mlp_regression
 from .trainer import (
     TrainState,
     Trainer,

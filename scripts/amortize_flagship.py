@@ -63,7 +63,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import optax
 
     from mpc_via_diffusion_model_tpu.control import (
         make_ampc_closed_loop, make_nmpc_closed_loop,
@@ -77,6 +76,7 @@ def main():
         cartpole_virtual_collect_cost, get_plant, theta_to_red_theta,
     )
     from mpc_via_diffusion_model_tpu.models import AMPCNet, TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.train import fit_mlp_regression
     from mpc_via_diffusion_model_tpu.solvers import ILQRConfig
 
     os.makedirs(args.out, exist_ok=True)
@@ -136,45 +136,10 @@ def main():
     }
 
     def train_mlp(model, inputs, conds, seed):
-        params = model.init(jax.random.PRNGKey(seed),
-                            jnp.zeros((2, conds.shape[-1])))
-        opt = optax.adam(args.lr)
-
-        def one_step(carry, k):
-            params, ema, opt_state = carry
-            k_idx, _ = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (args.batch_size,), 0,
-                                     inputs.shape[0])
-
-            def loss_fn(q):
-                pred = model.apply(q, conds[idx])
-                return jnp.mean(jnp.square(pred - inputs[idx]))
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            ema = jax.tree_util.tree_map(
-                lambda e, q: e * args.ema_decay + q * (1 - args.ema_decay),
-                ema, params)
-            return (params, ema, opt_state), loss
-
-        @jax.jit
-        def chunk(carry, key):
-            return jax.lax.scan(one_step, carry,
-                                jax.random.split(key, args.chunk))
-
-        carry = (params, jax.tree_util.tree_map(jnp.copy, params),
-                 opt.init(params))
-        key = jax.random.PRNGKey(seed + 1)
-        loss = None
-        for c in range(args.steps // args.chunk):
-            key, k = jax.random.split(key)
-            carry, losses = chunk(carry, k)
-            loss = float(losses[-1])
-            if (c + 1) % max(1, (args.steps // args.chunk) // 5) == 0:
-                print(f"  step {(c + 1) * args.chunk} mse {loss:.6f}",
-                      flush=True)
-        return jax.device_get(carry[1]), loss
+        return fit_mlp_regression(
+            model, inputs, conds, steps=args.steps, chunk=args.chunk,
+            batch_size=args.batch_size, lr=args.lr,
+            ema_decay=args.ema_decay, seed=seed, verbose=True)
 
     trained = {}
     for arch_name, model in archs.items():
@@ -218,11 +183,15 @@ def main():
         "n_starts": int(starts.shape[0]),
         "expert_cost_mean": float(expert_costs.mean()),
     }
+    eval_cache = {}  # one jitted program per arch; params is a runtime arg
     for name, (model, params, mse) in trained.items():
-        ampc_loop = make_ampc_closed_loop(
-            model.apply, in_stats, c_stats, plant, cost,
-            n_steps=args.eval_steps)
-        runs = jax.jit(jax.vmap(lambda x0: ampc_loop(params, x0)))(starts)
+        if model.hidden not in eval_cache:
+            ampc_loop = make_ampc_closed_loop(
+                model.apply, in_stats, c_stats, plant, cost,
+                n_steps=args.eval_steps)
+            eval_cache[model.hidden] = jax.jit(
+                jax.vmap(ampc_loop, in_axes=(None, 0)))
+        runs = eval_cache[model.hidden](params, starts)
         costs = np.asarray(runs.stage_costs.sum(axis=1))
         report[name] = {"final_mse": mse, **summarize(costs)}
         print(f"[eval] {name}: ratio_mean "

@@ -57,7 +57,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import optax
 
     from mpc_via_diffusion_model_tpu.control import (
         make_ampc_closed_loop, make_closed_loop,
@@ -70,6 +69,7 @@ def main():
     )
     from mpc_via_diffusion_model_tpu.dynamics import get_plant, make_panda_context
     from mpc_via_diffusion_model_tpu.models import AMPCNet, TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.train import fit_mlp_regression
 
     os.makedirs(args.out, exist_ok=True)
     plant, cost = get_plant("panda")
@@ -122,42 +122,10 @@ def main():
     model = AMPCNet(horizon=H, control_dim=7, hidden=(256, 256, 256))
 
     def train_mlp(inputs, conds, seed):
-        params = model.init(jax.random.PRNGKey(seed),
-                            jnp.zeros((2, conds.shape[-1])))
-        opt = optax.adam(args.lr)
-
-        def one_step(carry, k):
-            params, ema, opt_state = carry
-            k_idx, _ = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (args.batch_size,), 0,
-                                     inputs.shape[0])
-
-            def loss_fn(q):
-                pred = model.apply(q, conds[idx])
-                return jnp.mean(jnp.square(pred - inputs[idx]))
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            ema = jax.tree_util.tree_map(
-                lambda e, q: e * args.ema_decay + q * (1 - args.ema_decay),
-                ema, params)
-            return (params, ema, opt_state), loss
-
-        @jax.jit
-        def chunk(carry, key):
-            return jax.lax.scan(one_step, carry,
-                                jax.random.split(key, args.chunk))
-
-        carry = (params, jax.tree_util.tree_map(jnp.copy, params),
-                 opt.init(params))
-        key = jax.random.PRNGKey(seed + 1)
-        loss = None
-        for c in range(args.steps // args.chunk):
-            key, k = jax.random.split(key)
-            carry, losses = chunk(carry, k)
-            loss = float(losses[-1])
-        return jax.device_get(carry[1]), loss
+        return fit_mlp_regression(
+            model, inputs, conds, steps=args.steps, chunk=args.chunk,
+            batch_size=args.batch_size, lr=args.lr,
+            ema_decay=args.ema_decay, seed=seed)
 
     print("[train] amortized (student pairs)", flush=True)
     mlp_amort, mse_a = train_mlp(data_u, data_c, seed=30)
@@ -176,8 +144,10 @@ def main():
         model.apply, in_stats, c_stats, plant, cost,
         n_steps=args.eval_steps, state_to_condition=to_cond)
 
+    eval_jit = jax.jit(jax.vmap(ampc_loop, in_axes=(None, 0)))
+
     def eval_mlp(params):
-        runs = jax.jit(jax.vmap(lambda x0: ampc_loop(params, x0)))(starts)
+        runs = eval_jit(params, starts)
         return np.asarray(runs.stage_costs.sum(axis=1))
 
     costs_a = eval_mlp(mlp_amort)

@@ -64,7 +64,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import optax
 
     from mpc_via_diffusion_model_tpu.control import make_ampc_closed_loop
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
@@ -74,6 +73,7 @@ def main():
     )
     from mpc_via_diffusion_model_tpu.dynamics import get_plant
     from mpc_via_diffusion_model_tpu.models import AMPCNet, TemporalUnet, UNET_DIM_MULTS
+    from mpc_via_diffusion_model_tpu.train import fit_mlp_regression
 
     os.makedirs(args.out, exist_ok=True)
     plant, quad_cost = get_plant("quadrotor")
@@ -109,9 +109,7 @@ def main():
     # distillation stage (scripts/distill_quadrotor_guided_data.py).
     from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
     from mpc_via_diffusion_model_tpu.dynamics.base import rollout_with_cost
-    from quadrotor_task import OBS_CENTERS, OBS_RADII
-
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+    from quadrotor_task import min_clearance_jax
     t0 = time.time()
     n_pool = ds.condition_normalized.shape[0]
     base_key = jax.random.PRNGKey(args.noise_seed)
@@ -127,8 +125,7 @@ def main():
             def score(u_n):
                 u = unnormalize(in_stats, u_n)
                 xs, c = rollout_with_cost(plant, cost, x0, u)
-                d = jnp.linalg.norm(xs[:, None, 0:3] - centers[None], axis=-1)
-                clear = jnp.min(d - radii[None])
+                clear = min_clearance_jax(xs)
                 return c + 1e5 * jnp.maximum(-clear, 0.0)
 
             return plans[jnp.argmin(jax.vmap(score)(plans))]
@@ -153,42 +150,10 @@ def main():
     model = AMPCNet(horizon=H, control_dim=4, hidden=(128, 128, 128))
 
     def train_mlp(inputs, conds, seed):
-        params = model.init(jax.random.PRNGKey(seed),
-                            jnp.zeros((2, conds.shape[-1])))
-        opt = optax.adam(args.lr)
-
-        def one_step(carry, k):
-            params, ema, opt_state = carry
-            k_idx, _ = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (args.batch_size,), 0,
-                                     inputs.shape[0])
-
-            def loss_fn(q):
-                pred = model.apply(q, conds[idx])
-                return jnp.mean(jnp.square(pred - inputs[idx]))
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            ema = jax.tree_util.tree_map(
-                lambda e, q: e * args.ema_decay + q * (1 - args.ema_decay),
-                ema, params)
-            return (params, ema, opt_state), loss
-
-        @jax.jit
-        def chunk(carry, key):
-            return jax.lax.scan(one_step, carry,
-                                jax.random.split(key, args.chunk))
-
-        carry = (params, jax.tree_util.tree_map(jnp.copy, params),
-                 opt.init(params))
-        key = jax.random.PRNGKey(seed + 1)
-        loss = None
-        for c in range(args.steps // args.chunk):
-            key, k = jax.random.split(key)
-            carry, losses = chunk(carry, k)
-            loss = float(losses[-1])
-        return jax.device_get(carry[1]), loss
+        return fit_mlp_regression(
+            model, inputs, conds, steps=args.steps, chunk=args.chunk,
+            batch_size=args.batch_size, lr=args.lr,
+            ema_decay=args.ema_decay, seed=seed)
 
     print("[train] amortized (guided-student pairs)", flush=True)
     mlp_amort, mse_a = train_mlp(data_u, data_c, seed=30)
@@ -201,8 +166,10 @@ def main():
     ampc_loop = make_ampc_closed_loop(
         model.apply, in_stats, c_stats, plant, cost, n_steps=args.eval_steps)
 
+    eval_jit = jax.jit(jax.vmap(ampc_loop, in_axes=(None, 0)))
+
     def eval_mlp(params):
-        runs = jax.jit(jax.vmap(lambda x0: ampc_loop(params, x0)))(ev_j)
+        runs = eval_jit(params, ev_j)
         return track_metrics(runs.x_track, runs.stage_costs)
 
     m_a = eval_mlp(mlp_amort)
@@ -222,7 +189,7 @@ def main():
         "final_mse_direct": mse_d,
         "amortized_mlp": m_a,
         "direct_mlp_reference_baseline": m_d,
-        "student_wide_eval_for_reference": src.get("rounds")[-1],
+        "student_wide_eval_for_reference": rec,
     }
     with open(os.path.join(args.out, "mlp_amortized.pkl"), "wb") as f:
         pickle.dump(mlp_amort, f)

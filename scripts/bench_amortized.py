@@ -65,21 +65,49 @@ def main():
         n_steps=args.steps, u_init_scale=5.0, warm_start=False))
     expert_cost = float(np.asarray(nmpc(x0).stage_costs).sum())
 
-    arch = {
-        "ref": AMPCNet(horizon=args.horizon, control_dim=1),
-        "wide": AMPCNet(horizon=args.horizon, control_dim=1,
-                        hidden=(128, 128, 128)),
-    }
+    def arch_from_params(params):
+        """Recover the MLP architecture from the checkpoint itself (the
+        Dense_i kernel shapes fully determine it) — filename conventions
+        differ across the amortize_* scripts and must not pick the arch."""
+        dense = params["params"]
+        names = sorted(dense, key=lambda s: int(s.split("_")[1]))
+        in_dim = int(dense[names[0]]["kernel"].shape[0])
+        widths = [int(dense[n]["kernel"].shape[1]) for n in names]
+        if widths[-1] % args.horizon != 0:
+            return None, in_dim
+        return AMPCNet(horizon=args.horizon,
+                       control_dim=widths[-1] // args.horizon,
+                       hidden=tuple(widths[:-1])), in_dim
+
+    # one jitted program set per architecture — params is a runtime arg, so
+    # checkpoints sharing an arch must not pay the 1-5 min remote re-compile
+    loops_cache = {}
     for pkl in sorted(os.listdir(args.art)):
         if not (pkl.startswith("mlp_") and pkl.endswith(".pkl")):
             continue
         name = pkl[len("mlp_"):-len(".pkl")]
-        model = arch["wide" if name.endswith("wide") else "ref"]
         with open(os.path.join(args.art, pkl), "rb") as f:
             params = pickle.load(f)
+        model, in_dim = arch_from_params(params)
+        if model is None or in_dim != x0.shape[0]:
+            print(json.dumps({
+                "metric": f"amortized_{name}_closed_loop_hz", "value": None,
+                "skipped": f"checkpoint is not a horizon-{args.horizon} "
+                           f"cart-pole policy (input dim {in_dim})"}),
+                flush=True)
+            continue
 
-        loop = jax.jit(make_ampc_closed_loop(
-            model.apply, in_stats, c_stats, plant, cost, n_steps=args.steps))
+        key = (model.hidden, model.control_dim)
+        if key not in loops_cache:
+            loops_cache[key] = (
+                jax.jit(make_ampc_closed_loop(
+                    model.apply, in_stats, c_stats, plant, cost,
+                    n_steps=args.steps)),
+                jax.jit(make_ampc_closed_loop(
+                    model.apply, in_stats, c_stats, plant, cost,
+                    n_steps=args.sustained_steps)),
+            )
+        loop, loop_long = loops_cache[key]
         res = loop(params, x0)
         jax.block_until_ready(res.x_track)
         cost_ratio = float(np.asarray(res.stage_costs).sum()) / expert_cost
@@ -95,9 +123,6 @@ def main():
             "cost_ratio_vs_expert": round(cost_ratio, 4),
         }), flush=True)
 
-        loop_long = jax.jit(make_ampc_closed_loop(
-            model.apply, in_stats, c_stats, plant, cost,
-            n_steps=args.sustained_steps))
         jax.block_until_ready(loop_long(params, x0).x_track)
         reps = []
         for _ in range(3):
@@ -118,12 +143,16 @@ def main():
             x0f[:, 0] += _np.random.RandomState(5).uniform(
                 -0.5, 0.5, args.fleet)
             x0f = jnp.asarray(x0f, jnp.float32)
-            fleet = jax.jit(jax.vmap(lambda s: loop_long(params, s)))
-            jax.block_until_ready(fleet(x0f).x_track)
+            fkey = ("fleet",) + key
+            if fkey not in loops_cache:
+                loops_cache[fkey] = jax.jit(
+                    jax.vmap(loop_long, in_axes=(None, 0)))
+            fleet = loops_cache[fkey]
+            jax.block_until_ready(fleet(params, x0f).x_track)
             reps = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fleet(x0f).x_track)
+                jax.block_until_ready(fleet(params, x0f).x_track)
                 reps.append(time.perf_counter() - t0)
             print(json.dumps({
                 "metric": f"amortized_{name}_fleet{args.fleet}_steps_per_sec",

@@ -35,7 +35,7 @@ import time
 import numpy as np
 
 from quadrotor_task import (
-    OBS_CENTERS, OBS_RADII, eval_start_states, make_loop_guide_builder,
+    eval_start_states, make_loop_guide_builder, min_clearance_jax,
     make_penalty_grad, make_task_cost, track_metrics,
 )
 
@@ -109,7 +109,6 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     plant, quad_cost = get_plant("quadrotor")
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
     cost = make_task_cost(quad_cost)  # the flagship's hover + obstacle cost
     ds = ControlSequenceDataset.load(os.path.join(args.teacher, "dataset.npz"))
     in_stats = ds.normalizer.stats["inputs"]
@@ -186,8 +185,7 @@ def main():
         def plan_stats(u_n, x0):
             u_seq = unnormalize(in_stats, u_n)
             states = rollout(plant, x0, u_seq, unroll=len(u_seq))
-            d = jnp.linalg.norm(states[:, None, 0:3] - centers[None], axis=-1)
-            clear = jnp.min(d - radii[None])
+            clear = min_clearance_jax(states)
             d0 = jnp.linalg.norm(x0[0:3])
             d1 = jnp.linalg.norm(states[-1, 0:3])
             return clear, d0, d1

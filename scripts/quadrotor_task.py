@@ -115,6 +115,17 @@ def min_clearance(xt):
     return (d - OBS_RADII).min(axis=(-1, -2))
 
 
+def min_clearance_jax(states):
+    """Jittable twin of :func:`min_clearance` for one track ``(T, >=3)``:
+    the single source of the scene used inside data-curation filters
+    (vmap it over a batch of rollouts)."""
+    import jax.numpy as jnp
+
+    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+    d = jnp.linalg.norm(states[:, None, 0:3] - centers[None], axis=-1)
+    return jnp.min(d - radii[None])
+
+
 def track_metrics(xt, stage_costs=None):
     """The flagship eval metrics for a batch of closed-loop tracks
     ``(N, T, 12)``: collision-free / goal-reach / safe-reach fractions,
