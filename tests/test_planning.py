@@ -285,3 +285,27 @@ def test_stochgpmp_guide_one_step():
     r0 = float(jnp.sum(reward(x)))
     r1 = float(jnp.sum(reward(x + g)))
     assert r1 > r0
+
+
+def test_stochgpmp_guide_rejects_odd_num_samples():
+    """num_samples is the exact reward-eval budget (antithetic pairs), so an
+    odd count would silently evaluate a different number than requested."""
+    reward = lambda x: -jnp.sum(jnp.square(x), axis=(-1, -2))
+    for bad in (1, 15):
+        with pytest.raises(ValueError):
+            stochgpmp_guide([(reward, 1.0)], jax.random.PRNGKey(0),
+                            num_samples=bad)
+
+
+def test_min_clearance_jax_matches_numpy():
+    """The jittable curation-filter clearance (scripts/quadrotor_task) must
+    agree with the numpy eval-metric clearance — one scene, two callers."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from quadrotor_task import min_clearance, min_clearance_jax
+
+    xt = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (5, 20, 12))) * 1.5
+    got = np.asarray(jax.vmap(min_clearance_jax)(jnp.asarray(xt)))
+    np.testing.assert_allclose(got, min_clearance(xt), rtol=1e-5)

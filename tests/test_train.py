@@ -214,3 +214,26 @@ def test_summary_fn_receives_training_step(setup):
         ds, num_train_steps=10, batch_size=16, steps_til_summary=5,
         summary_fn=summary2, log_fn=lambda s: None)
     assert len(seen2) == 3
+
+
+def test_fit_mlp_regression_learns_linear_map():
+    """The shared amortization regressor (train.regression) drives a tiny
+    MLP's MSE down on a deterministic linear target and returns EMA params
+    usable through model.apply."""
+    from mpc_via_diffusion_model_tpu.models import AMPCNet
+    from mpc_via_diffusion_model_tpu.train import fit_mlp_regression
+
+    H, D = 4, 3
+    key = jax.random.PRNGKey(0)
+    conds = jax.random.normal(key, (256, D))
+    w = jax.random.normal(jax.random.PRNGKey(1), (D, H))
+    inputs = jnp.tanh(conds @ w)[..., None]  # (256, H, 1)
+
+    model = AMPCNet(horizon=H, control_dim=1, hidden=(32, 32))
+    params, loss = fit_mlp_regression(
+        model, inputs, conds, steps=400, chunk=100, batch_size=64,
+        lr=3e-3, seed=0)
+    assert loss < 0.02
+    pred = model.apply(params, conds[:8])
+    assert pred.shape == (8, H, 1)
+    assert float(jnp.mean(jnp.square(pred - inputs[:8]))) < 0.05
