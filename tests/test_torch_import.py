@@ -30,6 +30,12 @@ CKPT_230K = (
     "/root/reference/trained_models/420000_models_with_noisy_data/230000/"
     "checkpoints/ema_model_current_state_dict.pth"
 )
+# the reference's OTHER production family: Panda (state_dim 7, context 20,
+# horizon 128; trained_models/panda_test6_117600/final/args.yaml)
+CKPT_PANDA = (
+    "/root/reference/trained_models/panda_test6_117600/final/checkpoints/"
+    "ema_model_current_state_dict.pth"
+)
 
 needs_ckpt = pytest.mark.skipif(
     not os.path.exists(CKPT_84K), reason="reference checkpoints not mounted"
@@ -105,7 +111,8 @@ def _torch_oracle(sd, x, t, context, mask):
 
 
 @needs_ckpt
-@pytest.mark.parametrize("ckpt,horizon", [(CKPT_84K, 32), (CKPT_230K, 8)])
+@pytest.mark.parametrize("ckpt,horizon",
+                         [(CKPT_84K, 32), (CKPT_230K, 8), (CKPT_PANDA, 128)])
 def test_imported_forward_matches_torch_oracle(ckpt, horizon):
     sd = load_reference_state_dict(ckpt)
     variables, cfg = import_reference_unet(sd)
