@@ -26,6 +26,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..utils.precision import hmatmul
+
 __all__ = ["make_tp_ampc_apply"]
 
 
@@ -72,11 +74,13 @@ def make_tp_ampc_apply(mesh: Mesh, params, control_dim: int = 1,
         # shard_map passes each device its (1, ...) slice of the stacked
         # weights; x and the replicated layers are full
         w1_, b1_, w2_, w3_, b3_ = (a[0] for a in (w1_, b1_, w2_, w3_, b3_))
-        h0 = jnp.tanh(x @ w0 + b0)
-        h1 = jnp.tanh(h0 @ w1_ + b1_)                       # (B, 50/m) shard
-        z2 = h1 @ w2_                                       # (B, 50) partial
+        # fp32 like AMPCNet.apply — this net is a controller, and the TP
+        # parity guarantee vs the flax model must hold on TPU (bf16) too
+        h0 = jnp.tanh(hmatmul(x, w0) + b0)
+        h1 = jnp.tanh(hmatmul(h0, w1_) + b1_)               # (B, 50/m) shard
+        z2 = hmatmul(h1, w2_)                               # (B, 50) partial
         h2 = jnp.tanh(jax.lax.psum(z2, axis) + b2)          # reduce + bias once
-        z3 = h2 @ w3_ + b3_                                 # (B, out/m) shard
+        z3 = hmatmul(h2, w3_) + b3_                         # (B, out/m) shard
         return jax.lax.all_gather(z3, axis, axis=1, tiled=True)  # (B, out)
 
     sharded = shard_map(

@@ -37,6 +37,10 @@ def fit_mlp_regression(
     indices are drawn per inner step; ``chunk`` steps run per device
     dispatch. Returns ``(ema_params_on_host, final_loss)``.
     """
+    if steps < chunk:
+        raise ValueError(
+            f"steps ({steps}) < chunk ({chunk}): zero chunks would run and "
+            f"the untrained init would be returned as 'trained' params")
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros((2, conds.shape[-1])))
     opt = optax.adam(lr)

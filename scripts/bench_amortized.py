@@ -90,11 +90,13 @@ def main():
             params = pickle.load(f)
         model, in_dim = arch_from_params(params)
         if model is None or in_dim != x0.shape[0]:
+            why = (f"output width not divisible by horizon {args.horizon}"
+                   if model is None else
+                   f"input dim {in_dim} != cart-pole state dim {x0.shape[0]}")
             print(json.dumps({
                 "metric": f"amortized_{name}_closed_loop_hz", "value": None,
-                "skipped": f"checkpoint is not a horizon-{args.horizon} "
-                           f"cart-pole policy (input dim {in_dim})"}),
-                flush=True)
+                "skipped": f"not a horizon-{args.horizon} cart-pole policy "
+                           f"({why})"}), flush=True)
             continue
 
         key = (model.hidden, model.control_dim)

@@ -75,22 +75,29 @@ def main():
     schedule = make_schedule("exponential", 25)
     diffusion = GaussianDiffusion(schedule=schedule)
 
-    # the teacher study's exact 5 states (flagship_modality.py)
-    study_x0 = [
-        {"name": "pos0.0_theta_pi", "pos": 0.0, "theta": float(np.pi)},
-        {"name": "pos0.25_theta_pi", "pos": 0.25, "theta": float(np.pi)},
-        {"name": "pos-0.25_theta_pi", "pos": -0.25, "theta": float(np.pi)},
-        {"name": "pos0.0_theta_3.0", "pos": 0.0, "theta": 3.0},
-        {"name": "pos0.0_theta_3.3", "pos": 0.0, "theta": 3.3},
-    ]
+    # the teacher study's exact states, taken FROM its committed report so
+    # the student counts are compared at the states the teacher actually ran
+    # (falls back to the flagship_modality.py list if the report is absent)
     teacher_study = {}
     t_report = os.path.join(args.teacher, "report.json")
     if os.path.exists(t_report):
         with open(t_report) as f:
             teacher_study = {r["name"]: r for r in json.load(f)["study"]}
+    if teacher_study:
+        study_x0 = [{"name": r["name"], "pos": r["pos"], "theta": r["theta"]}
+                    for r in teacher_study.values()]
+    else:
+        study_x0 = [
+            {"name": "pos0.0_theta_pi", "pos": 0.0, "theta": float(np.pi)},
+            {"name": "pos0.25_theta_pi", "pos": 0.25, "theta": float(np.pi)},
+            {"name": "pos-0.25_theta_pi", "pos": -0.25, "theta": float(np.pi)},
+            {"name": "pos0.0_theta_3.0", "pos": 0.0, "theta": 3.0},
+            {"name": "pos0.0_theta_3.3", "pos": 0.0, "theta": 3.3},
+        ]
 
     mpc_cost_total = jax.jit(
         lambda r: jnp.sum(per_step_mpc_costs(plant, cost, r)))
+    mpc_cost_batch = jax.jit(jax.vmap(mpc_cost_total))
 
     report = {"sampling_times": args.sampling_times, "students": []}
     for art in args.student_dirs:
@@ -122,7 +129,7 @@ def main():
                                         args.sampling_times)
                 runs = runs_fn(keys, x0)
                 modes = count_swing_modes(np.asarray(runs.x_track))
-                costs = np.asarray(jax.jit(jax.vmap(mpc_cost_total))(runs))
+                costs = np.asarray(mpc_cost_batch(runs))
                 t_rec = teacher_study.get(entry["name"], {})
                 rows.append({
                     **entry, **modes,
