@@ -42,8 +42,16 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--eval-seeds", type=int, default=10)
     p.add_argument("--steps", type=int, default=80)
+    p.add_argument("--init-student", default=None,
+                   help="resume from a saved student .pkl (skips re-running "
+                        "earlier rounds); requires --init-times")
+    p.add_argument("--init-times", default=None,
+                   help="comma-separated DDIM grid of --init-student, e.g. "
+                        "'23,15,7' for the 3-eval student")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    if (args.init_student is None) != (args.init_times is None):
+        p.error("--init-student and --init-times must be given together")
 
     import jax
     if args.cpu:
@@ -109,12 +117,29 @@ def main():
 
     times = ddim_time_grid(25, t_start=23)
     cur_teacher = teacher_params
+    if args.init_student is not None:
+        # resume a deeper distillation: the saved student becomes the next
+        # round's (conditional-only) teacher on its own grid — same resume
+        # semantics as scripts/distill_flagship.py
+        with open(args.init_student, "rb") as f:
+            cur_teacher = pickle.load(f)
+        times = [int(t) for t in args.init_times.split(",")]
+        if any(t < 0 or t >= schedule.n_steps for t in times):
+            raise SystemExit(f"--init-times entries must be in "
+                             f"[0, {schedule.n_steps}): got {times}")
+        if times != sorted(times, reverse=True):
+            raise SystemExit(f"--init-times must be strictly decreasing "
+                             f"(DDIM grid, high t first): got {times}")
+        report["init_student"] = args.init_student
+        print(f"[init] resuming from {args.init_student} on grid {times}",
+              flush=True)
     optimizer = make_optimizer(lr=args.lr)
     for r in range(args.rounds):
         t0 = time.time()
         step_fn, student_times = make_distill_step(
             schedule, model.apply, optimizer, cur_teacher, times,
-            w=args.w, teacher_cfg=(r == 0),
+            w=args.w,
+            teacher_cfg=(r == 0 and args.init_student is None),
         )
         chunk_fn = make_scanned_train_steps(step_fn, args.chunk)
         chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
