@@ -309,3 +309,45 @@ def test_min_clearance_jax_matches_numpy():
     xt = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (5, 20, 12))) * 1.5
     got = np.asarray(jax.vmap(min_clearance_jax)(jnp.asarray(xt)))
     np.testing.assert_allclose(got, min_clearance(xt), rtol=1e-5)
+
+
+def test_select_cost_safety_first_ordering():
+    """make_select_cost must flip the candidate ranking that make_task_cost
+    gets wrong: a grazing track (inside the 0.15 m margin shell but NOT
+    penetrating, so the task cost's hinge is zero) must lose to a clear
+    detour track even when the detour's hover quadratic is worse — the
+    measured failure behind safety-first best-of-K selection
+    (scripts/study_quadrotor_candidates.py)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from quadrotor_task import (
+        HOVER_THRUST, OBS_CENTERS, OBS_RADII, make_select_cost, make_task_cost,
+    )
+
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant
+
+    _, quad_cost = get_plant("quadrotor")
+    task, select = make_task_cost(quad_cost), make_select_cost(quad_cost)
+
+    u_hover = jnp.array([HOVER_THRUST, 0.0, 0.0, 0.0])
+    center, radius = OBS_CENTERS[0], float(OBS_RADII[0])  # (1.5, 0, 1), r=0.45
+
+    def track_cost(cost, offsets):
+        """Sum stage costs over states hovering at center + offset points."""
+        total = jnp.float32(0.0)
+        for off in offsets:
+            x = jnp.zeros((12,)).at[0:3].set(jnp.asarray(center) + jnp.asarray(off))
+            total = total + cost.stage(x, u_hover)
+        return float(total)
+
+    # grazing: clearance +0.05 (inside margin shell, hinge-free for task cost)
+    graze = [(0.0, 0.0, radius + 0.05)] * 4
+    # detour: clearance +0.30 (outside shell) but farther from the origin goal
+    detour = [(0.0, 0.0, radius + 0.30)] * 4
+
+    # the hover quadratic alone prefers the grazing track (closer to origin)
+    assert track_cost(task, graze) < track_cost(task, detour)
+    # safety-first selection prefers the clear detour
+    assert track_cost(select, graze) > track_cost(select, detour)
