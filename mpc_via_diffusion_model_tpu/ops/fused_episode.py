@@ -115,6 +115,8 @@ def make_fused_ddim_episode(
     plant: Plant,
     cost: QuadraticCost,
     n_steps: int = 80,
+    n_candidates: int = 1,
+    selection_cost=None,
     weights_dtype=jnp.float32,
     clip_denoised: bool = True,
     interpret: bool = False,
@@ -126,6 +128,24 @@ def make_fused_ddim_episode(
     ``make_closed_loop(..., sample_override=make_fused_ddim_chain(...))``
     step for step (same per-replan key split, same clip/normalize semantics).
 
+    ``n_candidates > 1`` runs best-of-K IN-kernel: K candidate horizons
+    denoise as one batched U-Net body (rows = K*H), each rolls open-loop
+    through the plant, and the min-rollout-cost plan's first control is
+    applied — `control/runtime.py` `horizon_cost` selection (same scan
+    order, same argmin first-min tie rule) without leaving VMEM. Measured
+    motivation: the 1-eval student at K=4 matches the expert's closed-loop
+    cost (artifacts/student_candidates), so the selection belongs in the
+    fast path.
+
+    ``selection_cost`` (duck-typed ``.stage(x, u)``/``.terminal(x)``, any
+    pure jax fn — e.g. the quadrotor's margin-inflated safety scorer,
+    `scripts/quadrotor_task.py::make_select_cost`) scores the K candidates
+    instead of ``cost`` when given; the reported ``stage_costs`` stay the
+    task quadratic. This mirrors the study protocol where selection is
+    near-lexicographic safety-first while metrics are computed from the
+    state track (artifacts/quadrotor_candidates: K=16 makes the whole
+    student ladder collision-free on all 64 starts).
+
     ``state_to_condition`` maps the plant state (dx,) to the conditioning
     vector (model.context_dim,) IN-kernel (e.g. the Panda FK context,
     `dynamics/arm.py::panda_context`); identity when None.
@@ -136,7 +156,9 @@ def make_fused_ddim_episode(
     # EPSILON-prediction recon algebra (recon = sra x - srm eps) — the
     # GaussianDiffusion default. x0-predicting models (predict_epsilon=False)
     # must use the XLA samplers.
-    ops = build_unet_ops(model, params, 1, weights_dtype)
+    K = int(n_candidates)
+    assert K >= 1
+    ops = build_unet_ops(model, params, K, weights_dtype)
     flat, body = list(ops["flat"]), ops["body"]
     films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
     horizon, n_res = ops["horizon"], ops["n_res"]
@@ -185,7 +207,30 @@ def make_fused_ddim_episode(
                                  jnp.zeros((dx,), jnp.float32))
                  if state_to_condition is not None else None)
 
-    rows = horizon  # n_samples = 1
+    # best-of-K selection: the candidate scorer is the runtime's
+    # `horizon_cost` (control/runtime.py:144-153) traced verbatim so the
+    # in-kernel costs — and therefore the argmin — replay the exact XLA ops
+    if K > 1:
+        sel_cost = cost if selection_cost is None else selection_cost
+
+        def _cand_costs(x0v, u_cand):
+            def horizon_cost(u_seq):
+                def body_fn(carry, u):
+                    xc, acc = carry
+                    acc = acc + sel_cost.stage(xc, u)
+                    return (plant.step(xc, u), acc), None
+
+                (x_f, acc), _ = jax.lax.scan(
+                    body_fn, (x0v, jnp.float32(0.0)), u_seq)
+                return acc + cost.terminal(x_f)
+
+            return jax.vmap(horizon_cost)(u_cand)
+
+        costs_call = _kernel_safe_fn(_cand_costs, flat,
+                                     jnp.zeros((dx,), jnp.float32),
+                                     jnp.zeros((K, horizon, du), jnp.float32))
+
+    rows = K * horizon
 
     def kernel(x0_ref, noise_ref, tembs_ref, coef_ref, *refs):
         xtr_ref, utr_ref, cost_ref = refs[-3:]
@@ -209,9 +254,13 @@ def make_fused_ddim_episode(
                     parts.append(jnp.ones((1, 1), jnp.float32))
                 mc = mish(jnp.concatenate(parts, axis=-1))  # (1, cond)
                 films = [
-                    jnp.dot(mc, W(wi), preferred_element_type=jnp.float32) + W(bi)
+                    jnp.broadcast_to(
+                        jnp.dot(mc, W(wi), preferred_element_type=jnp.float32)
+                        + W(bi),
+                        (K, W(bi).shape[-1]),
+                    )
                     for wi, bi in film_idx
-                ]  # list of (1, c_r)
+                ]  # list of (K, c_r); candidates share the loop's context
                 y = body(W, films, u)
                 eps = jnp.dot(y.astype(weights_dtype), W(w1_idx),
                               preferred_element_type=jnp.float32) + W(b1_idx)
@@ -228,8 +277,19 @@ def make_fused_ddim_episode(
             u_norm = jax.lax.fori_loop(0, n_total, denoise, u0n)
             # limits unnormalize: clip to [-1, 1] then affine (the reference's
             # saturate-at-dataset-limits semantics)
-            u_seq = jnp.clip(u_norm, -1.0, 1.0) * W(unc_idx) + W(uns_idx)  # (H, du)
-            u0 = u_seq[0]  # (du,)
+            u_seq = jnp.clip(u_norm, -1.0, 1.0) * W(unc_idx) + W(uns_idx)  # (K*H, du)
+            if K == 1:
+                u0 = u_seq[0]  # (du,)
+            else:
+                u_cand = u_seq.reshape(K, horizon, du)
+                ck = costs_call(W, x[0], u_cand).reshape(1, K)
+                # first-min argmin without lax.argmin (Mosaic-safe 2-D
+                # min/where): matches jnp.argmin's tie rule in runtime.py
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+                best = jnp.min(jnp.where(ck == jnp.min(ck), iota, K))
+                onehot = (iota == best).astype(jnp.float32)  # (1, K)
+                u0 = jnp.dot(onehot, u_cand[:, 0, :],
+                             preferred_element_type=jnp.float32)[0]  # (du,)
             stage = sum(q_diag[i] * x[0, i] * x[0, i] for i in range(dx)) \
                 + sum(r_diag[j] * u0[j] * u0[j] for j in range(du))
             x_next = plant_call(W, x[0], u0)[None]  # (1, dx)
@@ -245,7 +305,7 @@ def make_fused_ddim_episode(
         u_track (n_steps, du), stage_costs (n_steps,))."""
         replan_keys = jax.random.split(key, n_steps)  # runtime.py:188 semantics
         noise = jax.vmap(
-            lambda k: jax.random.normal(k, (1, horizon, d_state), jnp.float32)
+            lambda k: jax.random.normal(k, (K, horizon, d_state), jnp.float32)
         )(replan_keys).reshape(n_steps, rows, d_state)
 
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -205,3 +205,99 @@ def test_episode_single_eval_grid():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.stage_costs),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_episode_best_of_k_matches_runtime():
+    """In-kernel best-of-K selection must replay the runtime's horizon_cost
+    scoring and first-min argmin exactly (control/runtime.py:144-156): the
+    K=4 episode kernel vs make_closed_loop(n_candidates=4) with the chain
+    kernel as the sampler, same key."""
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    times = [9, 6, 3, 0]
+    n_steps, K = 5, 4
+
+    chain = make_fused_ddim_chain(model, params, schedule, times, n_samples=K,
+                                  interpret=True)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, n_candidates=K,
+        sample_override=chain)
+
+    episode = make_fused_ddim_episode(
+        model, params, schedule, times, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, n_candidates=K, interpret=True)
+
+    x0 = jnp.array([2.5, 0.0])
+    key = jax.random.PRNGKey(3)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+
+    # selection is discrete: a flipped argmin would diverge the tracks, so
+    # the tight tolerances also assert the argmins agree at every replan
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.stage_costs),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_episode_selection_cost_decouples_from_stage_cost():
+    """Kernel selection_cost != task cost (the quadrotor safety-first
+    protocol, scripts/quadrotor_task.py::make_select_cost): tracks must match
+    the XLA loop GIVEN the selection cost, while reported stage_costs stay
+    the task quadratic. The selection cost's control-hinge (prefer u near
+    +3 where the task prefers small |u|) reorders the candidates, so passing
+    also proves the kernel scores with the selection cost (not the task
+    cost) — the degeneracy assert at the end pins the reordering."""
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    times = [9, 6, 3, 0]
+    n_steps, K = 5, 4
+
+    class SelectCost:
+        @staticmethod
+        def stage(x, u):
+            pull = u[0] - 3.0
+            return cost.stage(x, u) + 30.0 * pull * pull
+
+        @staticmethod
+        def terminal(x):
+            return cost.terminal(x)
+
+    chain = make_fused_ddim_chain(model, params, schedule, times, n_samples=K,
+                                  interpret=True)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, SelectCost(),
+        horizon=horizon, n_steps=n_steps, n_candidates=K,
+        sample_override=chain)
+
+    episode = make_fused_ddim_episode(
+        model, params, schedule, times, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, n_candidates=K, selection_cost=SelectCost(),
+        interpret=True)
+
+    x0 = jnp.array([2.5, 0.0])
+    key = jax.random.PRNGKey(3)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+    # the loop reports SelectCost stages; the kernel must report the TASK
+    # quadratic on the same (x, u) track
+    task_stages = jax.vmap(cost.stage)(ref.x_track[:-1], ref.u_track)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(task_stages),
+                               rtol=1e-4, atol=1e-4)
+    # and the selection hinge must actually have flipped at least one argmin
+    # vs task-cost selection, else this test degenerates to the one above
+    loop_task = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, n_candidates=K,
+        sample_override=chain)
+    ref_task = loop_task(params, x0, key)
+    assert not np.allclose(np.asarray(ref.u_track),
+                           np.asarray(ref_task.u_track))
