@@ -41,6 +41,10 @@ def main():
     p.add_argument("--steps", type=int, default=80,
                    help="protocol episode length (pipelined row)")
     p.add_argument("--sustained-steps", type=int, default=800)
+    p.add_argument("--candidates", type=int, default=0,
+                   help="if >1, add an in-kernel best-of-K sustained row per "
+                        "student (artifacts/student_candidates: the 1-eval "
+                        "student at K=4 matches the expert cost)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -112,6 +116,29 @@ def main():
             "value": round(args.sustained_steps / min(reps), 1), "unit": "Hz",
             "times": times,
         }), flush=True)
+
+        if args.candidates > 1:
+            K = args.candidates
+            ep_k = jax.jit(make_fused_ddim_episode(
+                model, params, schedule, times, in_stats, c_stats, plant,
+                cost, n_steps=args.sustained_steps, n_candidates=K))
+            jax.block_until_ready(ep_k(x0, key))
+            reps = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                out = ep_k(x0, jax.random.fold_in(key, 100 + r))
+                jax.block_until_ready(out)
+                reps.append(time.perf_counter() - t0)
+            _, _, costs_k = ep_k(x0, key)
+            # cost over the sustained episode length, same expert protocol
+            # scaling as the report (expert_cost is the 80-step sum)
+            print(json.dumps({
+                "metric": f"deep_distilled_{len(times)}eval_k{K}_sustained_hz",
+                "value": round(args.sustained_steps / min(reps), 1),
+                "unit": "Hz", "times": times,
+                "cost_ratio_vs_expert_80": round(
+                    float(jnp.sum(costs_k[:args.steps])) / expert_cost, 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ import time
 
 import numpy as np
 
-from quadrotor_task import eval_start_states, track_metrics
+from quadrotor_task import eval_start_states, make_select_cost, track_metrics
 
 
 def main():
@@ -42,6 +42,10 @@ def main():
     p.add_argument("--teacher", default="artifacts/flagship_quadrotor")
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--eval-starts", type=int, default=16)
+    p.add_argument("--candidates", type=int, default=0,
+                   help="if >1, also bench the in-kernel best-of-K episode "
+                        "with safety-first selection (quadrotor_task."
+                        "make_select_cost; study: artifacts/quadrotor_candidates)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -139,6 +143,40 @@ def main():
                       "value": out["episode_hz_pipelined"], "unit": "Hz",
                       "sustained": out["episode_hz_sustained"],
                       "max_err_vs_xla": err, **out["episode"]}), flush=True)
+
+    # ---- in-kernel best-of-K with safety-first selection ----
+    if args.candidates > 1:
+        K = args.candidates
+        episode_k = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant,
+            quad_cost, n_steps=args.steps, n_candidates=K,
+            selection_cost=make_select_cost(quad_cost)))
+        k_tracks = np.stack([np.asarray(episode_k(ev_j[i], ks[i])[0])
+                             for i in range(args.eval_starts)])
+        out[f"episode_k{K}"] = collision_metrics(k_tracks)
+
+        argsk = [(ev_j[i % args.eval_starts], jax.random.fold_in(key, 200 + i))
+                 for i in range(8)]
+        out[f"episode_k{K}_hz_pipelined"] = round(
+            args.steps / pipelined_time_fn(
+                lambda xx, kk: episode_k(xx, kk)[0], argsk), 1)
+        sus = []
+        for r in range(3):
+            x_cur = ev_j[0]
+            t0 = time.perf_counter()
+            for i in range(n_chain):
+                xtr, _, _ = episode_k(
+                    x_cur, jax.random.fold_in(key, 700 + 10 * r + i))
+                x_cur = xtr[-1]
+            jax.block_until_ready(x_cur)
+            sus.append(time.perf_counter() - t0)
+        out[f"episode_k{K}_hz_sustained"] = round(
+            n_chain * args.steps / min(sus), 1)
+        print(json.dumps({
+            "metric": f"quadrotor_student_fused_episode_k{K}_hz",
+            "value": out[f"episode_k{K}_hz_pipelined"], "unit": "Hz",
+            "sustained": out[f"episode_k{K}_hz_sustained"],
+            **out[f"episode_k{K}"]}), flush=True)
 
     with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
         json.dump(out, f, indent=2)
