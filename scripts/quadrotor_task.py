@@ -84,23 +84,23 @@ def make_select_cost(quad_cost, margin=0.15, weight=2e5):
     return SelectCost()
 
 
-def make_penalty_grad(plant, in_stats, guide_scale):
+def make_penalty_grad(plant, in_stats, guide_scale, scene_args=False):
     """Per-plan guided-descent delta ``per(u_norm (H, 4), x0 (12,)) -> (H, 4)``:
     descend the rolled-out obstacle penalty through the plant (chain rule via
     jax.grad), the control-space analogue of the reference's
     GuideManagerTrajectories gradient step.
 
     ``guide_scale`` may be a Python float or a traced scalar (the Pareto
-    sweep vmaps over it)."""
+    sweep vmaps over it). With ``scene_args=True`` the returned fn takes the
+    scene as traced inputs — ``per(u_norm, x0, centers (n,3), radii (n,))``
+    — for per-row scene randomization (scene_conditioned_quadrotor.py)."""
     import jax
     import jax.numpy as jnp
     from mpc_via_diffusion_model_tpu.data.normalization import unnormalize
     from mpc_via_diffusion_model_tpu.dynamics.base import rollout
     from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
 
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
-
-    def per(u_norm, x0):
+    def per_scene(u_norm, x0, centers, radii):
         def penalty(un):
             u_seq = unnormalize(in_stats, un)
             states = rollout(plant, x0, u_seq, unroll=u_norm.shape[0])
@@ -114,7 +114,11 @@ def make_penalty_grad(plant, in_stats, guide_scale):
         # normalized, clipped descent step (reference clips guide grads)
         return -guide_scale * jnp.clip(g, -1.0, 1.0)
 
-    return per
+    if scene_args:
+        return per_scene
+
+    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+    return lambda u_norm, x0: per_scene(u_norm, x0, centers, radii)
 
 
 def make_loop_guide_builder(plant, in_stats, guide_scale):
@@ -133,6 +137,41 @@ def make_loop_guide_builder(plant, in_stats, guide_scale):
     return guide_builder
 
 
+def sample_scenes(n, seed=0):
+    """Random 3-sphere scenes for scene-CONDITIONED planning
+    (scene_conditioned_quadrotor.py): perturbations of the canonical layout
+    with the start box (x >= 2.2) and the goal (origin) kept clear.
+
+    Returns ``(centers (n, 3, 3), radii (n, 3))``, float32. The canonical
+    scene is in-support (zero perturbation)."""
+    rng = np.random.RandomState(seed)
+    centers = (OBS_CENTERS[None] + np.stack([
+        rng.uniform(-0.3, 0.3, (n, 3)),
+        rng.uniform(-0.3, 0.3, (n, 3)),
+        rng.uniform(-0.2, 0.2, (n, 3)),
+    ], axis=-1)).astype(np.float32)
+    radii = (OBS_RADII[None] * rng.uniform(0.8, 1.15, (n, 3))).astype(np.float32)
+    # keep the start box clear: sphere extent along +x stays below 2.1
+    centers[..., 0] = np.minimum(centers[..., 0], 2.1 - radii)
+    # keep the goal (origin) clear: push centers out to norm >= radius + 0.3
+    norms = np.linalg.norm(centers, axis=-1, keepdims=True)
+    min_norm = (radii + 0.3)[..., None]
+    scale = np.maximum(min_norm / np.maximum(norms, 1e-6), 1.0)
+    centers *= scale
+    return centers, radii
+
+
+def scene_features(centers, radii):
+    """Flatten a scene (or batch of scenes) to the 12-dim conditioning
+    feature block: [centers.ravel() (9), radii (3)]."""
+    import jax.numpy as jnp
+
+    c = jnp.asarray(centers)
+    r = jnp.asarray(radii)
+    lead = c.shape[:-2]
+    return jnp.concatenate([c.reshape(*lead, 9), r.reshape(*lead, 3)], axis=-1)
+
+
 def eval_start_states(n, seed=7):
     """The held-out eval-start distribution (x in [2.2, 3], y in [-1.2, 1.2],
     z in [0.6, 1.4], rest zero). seed=7 is the flagship's 16-start eval set;
@@ -145,31 +184,41 @@ def eval_start_states(n, seed=7):
     return ev
 
 
-def min_clearance(xt):
+def min_clearance(xt, centers=None, radii=None):
     """Min obstacle clearance per track: ``(..., T, 12) -> (...,)``
-    (negative = collision)."""
+    (negative = collision). Canonical scene unless centers/radii given."""
     xt = np.asarray(xt)
-    d = np.linalg.norm(xt[..., :, None, 0:3] - OBS_CENTERS, axis=-1)
-    return (d - OBS_RADII).min(axis=(-1, -2))
+    c = OBS_CENTERS if centers is None else np.asarray(centers)
+    r = OBS_RADII if radii is None else np.asarray(radii)
+    d = np.linalg.norm(xt[..., :, None, 0:3] - c, axis=-1)
+    return (d - r).min(axis=(-1, -2))
 
 
-def min_clearance_jax(states):
+def min_clearance_jax(states, centers=None, radii=None):
     """Jittable twin of :func:`min_clearance` for one track ``(T, >=3)``:
     the single source of the scene used inside data-curation filters
-    (vmap it over a batch of rollouts)."""
+    (vmap it over a batch of rollouts). centers/radii may be traced."""
     import jax.numpy as jnp
 
-    centers, radii = jnp.asarray(OBS_CENTERS), jnp.asarray(OBS_RADII)
+    centers = jnp.asarray(OBS_CENTERS if centers is None else centers)
+    radii = jnp.asarray(OBS_RADII if radii is None else radii)
     d = jnp.linalg.norm(states[:, None, 0:3] - centers[None], axis=-1)
     return jnp.min(d - radii[None])
 
 
-def track_metrics(xt, stage_costs=None):
+def track_metrics(xt, stage_costs=None, centers=None, radii=None):
     """The flagship eval metrics for a batch of closed-loop tracks
     ``(N, T, 12)``: collision-free / goal-reach / safe-reach fractions,
-    mean min-clearance and goal distance (+ cost when stage_costs given)."""
+    mean min-clearance and goal distance (+ cost when stage_costs given).
+    ``centers``/``radii`` may be batched per-track ``(N, n_obs, 3)``/
+    ``(N, n_obs)`` for scene-randomized evals."""
     xt = np.asarray(xt)
-    clearance = min_clearance(xt)
+    if centers is not None and np.asarray(centers).ndim == 3:
+        clearance = np.stack([
+            min_clearance(xt[i], centers[i], radii[i])
+            for i in range(xt.shape[0])])
+    else:
+        clearance = min_clearance(xt, centers, radii)
     goal_dist = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
     cf, rf = clearance > 0, goal_dist < 0.5
     out = {

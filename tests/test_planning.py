@@ -351,3 +351,79 @@ def test_select_cost_safety_first_ordering():
     assert track_cost(task, graze) < track_cost(task, detour)
     # safety-first selection prefers the clear detour
     assert track_cost(select, graze) > track_cost(select, detour)
+
+
+def test_sample_scenes_respects_corridor_constraints():
+    """Scene randomization (scripts/quadrotor_task.sample_scenes) must keep
+    the eval-start box (x >= 2.2) and the goal (origin) clear for EVERY
+    drawn scene — otherwise scene-conditioned evals would contain unsolvable
+    (start-in-collision / goal-in-collision) episodes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from quadrotor_task import sample_scenes, scene_features
+
+    centers, radii = sample_scenes(2000, seed=3)
+    assert centers.shape == (2000, 3, 3) and radii.shape == (2000, 3)
+    # start box clear: max obstacle extent along +x below the 2.2 start wall
+    assert float((centers[..., 0] + radii).max()) <= 2.1 + 1e-5
+    # goal clear: no sphere within 0.3 of the origin
+    margins = np.linalg.norm(centers, axis=-1) - radii
+    assert float(margins.min()) >= 0.3 - 1e-5
+    # canonical scene is in-support of the perturbation ranges
+    from quadrotor_task import OBS_CENTERS, OBS_RADII
+    lo_c, hi_c = centers.min(axis=0), centers.max(axis=0)
+    assert np.all(OBS_CENTERS >= lo_c - 1e-6) and np.all(OBS_CENTERS <= hi_c + 1e-6)
+    assert np.all(OBS_RADII >= radii.min(axis=0)) and np.all(OBS_RADII <= radii.max(axis=0))
+    # feature flattening: batched == per-scene
+    f = np.asarray(scene_features(centers, radii))
+    assert f.shape == (2000, 12)
+    np.testing.assert_allclose(
+        f[7], np.asarray(scene_features(centers[7], radii[7])), rtol=1e-6)
+
+
+def test_widen_film_params_warm_start():
+    """Context widening surgery (scripts/scene_conditioned_quadrotor.py::
+    widen_film_params): the widened model with zeroed new context dims must
+    compute EXACTLY the original model's function."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from scene_conditioned_quadrotor import widen_film_params
+
+    from mpc_via_diffusion_model_tpu.models import TemporalUnet
+
+    H = 8
+    mk = lambda ctx: TemporalUnet(state_dim=2, n_support_points=H,
+                                  unet_input_dim=8, dim_mults=(1, 2),
+                                  context_dim=ctx, conditioning_type="default",
+                                  cfg_indicator=True)
+    m3, m5 = mk(3), mk(5)
+    x = jnp.ones((2, H, 2)) * 0.3
+    t = jnp.array([1, 7])
+    args3 = [x, t, jnp.ones((2, 3)) * 0.2, jnp.zeros((2, 1))]
+    p3 = m3.init(jax.random.PRNGKey(0), *args3)
+    p5_init = m5.init(jax.random.PRNGKey(1), x, t, jnp.zeros((2, 5)),
+                      jnp.zeros((2, 1)))
+    p5 = widen_film_params(p3, p5_init, 3, 5, cfg_indicator=True)
+
+    ctx5 = jnp.concatenate([args3[2], jnp.zeros((2, 2))], axis=1)
+    o3 = m3.apply(p3, *args3)
+    o5 = m5.apply(p5, x, t, ctx5, jnp.zeros((2, 1)))
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o5), atol=1e-6)
+    # at init the output is INVARIANT to the new dims (zero rows)...
+    o5b = m5.apply(p5, x, t, ctx5.at[:, 3].set(1.0), jnp.zeros((2, 1)))
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o5b), atol=1e-6)
+    # ...but the zero rows still receive gradient (trainable, not dead): the
+    # fine-tune can learn scene dependence from the warm start
+    ctx_hot = ctx5.at[:, 3].set(1.0)
+    g = jax.grad(lambda p: jnp.sum(
+        m5.apply(p, x, t, ctx_hot, jnp.zeros((2, 1))) ** 2))(p5)
+    leaves = jax.tree_util.tree_leaves_with_path(g)
+    widened_grads = [l for path, l in leaves
+                     if l.ndim == 2 and l.shape[0] == 32 + 5 + 1]
+    assert widened_grads, "no FiLM kernels found in grad tree"
+    # row 32+3 = the first new context dim's input row (time_emb_dim=32)
+    assert any(float(jnp.max(jnp.abs(l[32 + 3]))) > 0 for l in widened_grads)
