@@ -53,6 +53,10 @@ def main():
     p.add_argument("--sampling-times", type=int, default=20)
     p.add_argument("--w", type=float, default=0.01)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--collect-only", action="store_true",
+                   help="stop after saving dataset.npz (regenerates the "
+                        "gitignored dataset for a committed checkpoint; the "
+                        "collection is fully seeded so stats reproduce)")
     args = p.parse_args()
 
     import jax
@@ -107,6 +111,11 @@ def main():
     t_collect = time.time() - t0
     print(f"[collect] {ds.n_init} cold-start samples in {t_collect:.1f}s", flush=True)
     ds.save(os.path.join(args.out, "dataset.npz"))
+
+    if args.collect_only:
+        print(f"[collect-only] wrote {os.path.join(args.out, 'dataset.npz')}; "
+              f"stopping before training", flush=True)
+        return
 
     # ------- 2) train -------
     model = TemporalUnet(

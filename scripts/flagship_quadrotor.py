@@ -55,6 +55,10 @@ def main():
     p.add_argument("--reuse", action="store_true",
                    help="load dataset.npz + checkpoints/final.ckpt from --out "
                         "instead of re-collecting/re-training (eval iteration)")
+    p.add_argument("--collect-only", action="store_true",
+                   help="stop after saving dataset.npz (regenerates the "
+                        "gitignored dataset for a committed checkpoint; the "
+                        "collection is fully seeded so stats reproduce)")
     args = p.parse_args()
 
     import jax
@@ -146,6 +150,11 @@ def main():
               f"({n_dropped} diverged samples dropped)", flush=True)
         ds = ControlSequenceDataset.from_arrays(u_cat, x_cat)
         ds.save(ds_path)
+
+    if args.collect_only:
+        print(f"[collect-only] wrote {ds_path}; stopping before training",
+              flush=True)
+        return
 
     # ---------------- 2) train ---------------- #
     model = TemporalUnet(
