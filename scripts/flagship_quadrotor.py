@@ -152,7 +152,10 @@ def main():
         ds.save(ds_path)
 
     if args.collect_only:
-        print(f"[collect-only] wrote {ds_path}; stopping before training",
+        # --reuse + --collect-only with both files present is a no-op: say so
+        # instead of claiming a write that never happened (ADVICE r3)
+        verb = "reused existing" if reuse else "wrote"
+        print(f"[collect-only] {verb} {ds_path}; stopping before training",
               flush=True)
         return
 
