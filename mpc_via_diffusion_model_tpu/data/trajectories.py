@@ -26,7 +26,8 @@ import optax
 from ..envs.planning2d import PlanningEnv2D
 from .normalization import DatasetNormalizer
 
-__all__ = ["TrajectoryDataset", "generate_trajectories_gpmp"]
+__all__ = ["TrajectoryDataset", "generate_trajectories_gpmp",
+           "generate_arm_trajectories_gpmp"]
 
 FIELD_TRAJS = "trajs"
 FIELD_TASKS = "tasks"
@@ -156,6 +157,80 @@ def generate_trajectories_gpmp(
         return full, valid
 
     # (tasks x samples) fan-out
+    starts_r = jnp.repeat(starts, n_trajs_per_task, axis=0)
+    goals_r = jnp.repeat(goals, n_trajs_per_task, axis=0)
+    keys = jax.random.split(k_via, starts_r.shape[0])
+    trajs, valid = jax.jit(jax.vmap(optimize))(starts_r, goals_r, keys)
+    return trajs, valid
+
+
+def generate_arm_trajectories_gpmp(
+    arm_env,
+    key: jax.Array,
+    n_tasks: int = 16,
+    n_trajs_per_task: int = 8,
+    horizon: int = 64,
+    n_opt_steps: int = 400,
+    lr: float = 2e-2,
+    w_collision: float = 20.0,
+    w_smooth: float = 1.0,
+    min_start_goal_dist: float = 1.5,
+    via_scale: float = 0.5,
+    collision_margin: float = 0.0,
+    max_sdf: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`generate_trajectories_gpmp` for CONFIGURATION-space arm planning
+    (`envs/planning3d.PandaArmEnv3D`): straight joint-space interpolations
+    (+ sinusoidal via bumps for homotopy diversity) refined by Adam on
+    GP-prior smoothness + the robot's FK collision-sphere penalty, vmapped
+    over (tasks x samples) — replacing the reference's external
+    RRTConnect -> GPMP2 pipeline (`generate_trajectories.py:20-130`) run on
+    its 3-D robot envs (`mpd/datasets/trajectories.py:44-55`).
+
+    Returns (trajs (n_tasks*n_trajs_per_task, H, q_dim), valid (B,)).
+    ``min_start_goal_dist`` is in joint-space L2 (radians)."""
+    k_start, k_goal, k_resample, k_via = jax.random.split(key, 4)
+    starts = arm_env.random_free_points(k_start, n_tasks)
+    goals = arm_env.random_free_points(k_goal, n_tasks)
+    # push trivial (start ~ goal) tasks apart by redrawing goals from an
+    # independent key — one redraw suffices at these joint-space scales
+    too_close = jnp.linalg.norm(starts - goals, axis=-1) < min_start_goal_dist
+    goals2 = arm_env.random_free_points(k_resample, n_tasks)
+    goals = jnp.where(too_close[:, None], goals2, goals)
+
+    q_dim = starts.shape[-1]
+    t_lin = jnp.linspace(0.0, 1.0, horizon)[:, None]
+
+    def init_traj(start, goal, k):
+        base = start[None, :] * (1 - t_lin) + goal[None, :] * t_lin
+        bump_dir = jax.random.normal(k, (q_dim,))
+        bump = jnp.sin(jnp.pi * t_lin[:, 0])[:, None] * bump_dir * via_scale
+        return base + bump
+
+    def objective(traj_free, start, goal):
+        traj = jnp.concatenate([start[None], traj_free, goal[None]], axis=0)
+        vel = jnp.diff(traj, axis=0)
+        acc = jnp.diff(vel, axis=0)
+        smooth = jnp.sum(acc * acc) + 0.1 * jnp.sum(vel * vel)
+        coll = jnp.sum(arm_env.compute_collision_cost(traj, max_sdf))
+        return w_smooth * smooth + w_collision * coll
+
+    def optimize(start, goal, k):
+        traj0 = init_traj(start, goal, k)[1:-1]
+        opt = optax.adam(lr)
+        state = opt.init(traj0)
+
+        def step(carry, _):
+            traj, st = carry
+            g = jax.grad(objective)(traj, start, goal)
+            updates, st = opt.update(g, st)
+            return (optax.apply_updates(traj, updates), st), None
+
+        (traj, _), _ = jax.lax.scan(step, (traj0, state), None, length=n_opt_steps)
+        full = jnp.concatenate([start[None], traj, goal[None]], axis=0)
+        valid = jnp.all(arm_env.sdf(full) > collision_margin)
+        return full, valid
+
     starts_r = jnp.repeat(starts, n_trajs_per_task, axis=0)
     goals_r = jnp.repeat(goals, n_trajs_per_task, axis=0)
     keys = jax.random.split(k_via, starts_r.shape[0])

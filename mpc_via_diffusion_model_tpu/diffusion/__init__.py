@@ -9,6 +9,7 @@ from .distillation import (
 from .guides import (
     make_guide,
     collision_avoidance_guide,
+    config_collision_avoidance_guide,
     smoothness_finite_difference_guide,
     gp_prior_guide,
     state_goal_guide,

@@ -43,6 +43,7 @@ def _safe_norm(v, axis=-1, eps=1e-12):
 __all__ = [
     "make_guide",
     "collision_avoidance_guide",
+    "config_collision_avoidance_guide",
     "smoothness_finite_difference_guide",
     "gp_prior_guide",
     "state_goal_guide",
@@ -123,6 +124,21 @@ def collision_avoidance_guide(env: PlanningEnv2D, max_sdf: float = 0.1, num_inte
         if num_interpolated_points:
             pts = interpolate_points(pts, num_interpolated_points)
         return -jnp.sum(env.compute_collision_cost(pts, max_sdf), axis=-1)
+
+    return reward
+
+
+def config_collision_avoidance_guide(arm_env, max_sdf: float = 0.05) -> RewardFn:
+    """- sum of smooth collision penalties on CONFIGURATION-space
+    trajectories (..., H, q_dim): the arm analogue of
+    `collision_avoidance_guide`, differentiating the robot's collision-
+    sphere clearance through forward kinematics
+    (`envs/planning3d.PandaArmEnv3D.compute_collision_cost`). Matches the
+    reference's GuideCollisionAvoidance applied to its collision-sphere
+    robots (`guides.py:444-456` with RobotPanda task-space spheres)."""
+
+    def reward(x):
+        return -jnp.sum(arm_env.compute_collision_cost(x, max_sdf), axis=-1)
 
     return reward
 

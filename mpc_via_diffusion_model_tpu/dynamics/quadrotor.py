@@ -50,7 +50,18 @@ def quadrotor(
             ]
         )
 
-        omega_dot = (tau - jnp.cross(omega, inertia * omega)) / inertia
+        # explicit cross product: jnp.cross lowers through jnp.take (gather),
+        # which Mosaic rejects when the step is vmapped over candidates
+        # inside the episode kernel ("Only 2D gather is supported" on the
+        # quadrotor best-of-K row) — the component formula is gather-free
+        # and numerically identical
+        iw = inertia * omega
+        gyro = jnp.stack([
+            omega[1] * iw[2] - omega[2] * iw[1],
+            omega[2] * iw[0] - omega[0] * iw[2],
+            omega[0] * iw[1] - omega[1] * iw[0],
+        ])
+        omega_dot = (tau - gyro) / inertia
 
         xdot = jnp.concatenate([v, acc, rpy_dot, omega_dot])
         return x + xdot * dt
@@ -77,7 +88,13 @@ def obstacle_cost(states: jnp.ndarray, centers: jnp.ndarray, radii: jnp.ndarray,
       states: (..., H, state_dim) with positions in dims 0:3.
       centers: (n_obs, 3); radii: (n_obs,).
     """
-    pos = states[..., None, 0:3]  # (..., H, 1, 3)
-    d = jnp.linalg.norm(pos - centers, axis=-1)  # (..., H, n_obs)
+    # slice-then-expand: the mixed `[..., None, 0:3]` fancy index traces as
+    # a GATHER, which Mosaic cannot lower once the cost is vmapped over
+    # candidates inside the episode kernel ("Only 2D gather is supported"
+    # on the quadrotor best-of-K row); a plain slice + broadcast is the
+    # same values gather-free (jnp.linalg.norm was replaced by explicit
+    # sqrt-of-squares for the same reason)
+    pos = states[..., 0:3][..., None, :]  # (..., H, 1, 3)
+    d = jnp.sqrt(jnp.sum(jnp.square(pos - centers), axis=-1))  # (..., H, n_obs)
     penetration = jnp.maximum(radii - d, 0.0)
     return weight * jnp.sum(jnp.square(penetration), axis=(-1, -2))

@@ -112,3 +112,42 @@ def plot_planning_env(env, trajs: Optional[np.ndarray] = None, best_idx: Optiona
     ax.set_ylim(-lim, lim)
     ax.set_aspect("equal")
     return fig
+
+
+def plot_planning_env_3d(world, ee_paths: Optional[np.ndarray] = None,
+                         best_idx: Optional[int] = None):
+    """Render a 3-D sphere/box world + end-effector paths of sampled arm
+    plans (`envs/planning3d`; the reference renders its 3-D planning runs
+    through torch_robotics visualizers, `inference_(mpd).py:306-343`)."""
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    u, v = np.mgrid[0: 2 * np.pi: 18j, 0: np.pi: 10j]
+    for s in np.asarray(world.spheres):
+        ax.plot_surface(s[0] + s[3] * np.cos(u) * np.sin(v),
+                        s[1] + s[3] * np.sin(u) * np.sin(v),
+                        s[2] + s[3] * np.cos(v),
+                        color="tab:gray", alpha=0.35, linewidth=0)
+    for b in np.asarray(world.boxes):
+        c, h = b[:3], b[3:6]
+        corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                            for sz in (-1, 1)]) * h + c
+        edges = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7),
+                 (6, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+        for i, j in edges:
+            ax.plot(*zip(corners[i], corners[j]), color="tab:gray",
+                    alpha=0.5, lw=1)
+    if ee_paths is not None:
+        ee_paths = np.asarray(ee_paths)
+        for tr in ee_paths:
+            ax.plot(tr[:, 0], tr[:, 1], tr[:, 2], alpha=0.3,
+                    color="tab:blue", lw=1)
+        if best_idx is not None:
+            bt = ee_paths[best_idx]
+            ax.plot(bt[:, 0], bt[:, 1], bt[:, 2], color="tab:red", lw=2)
+        ax.scatter(*ee_paths[0, 0], color="green", s=40, label="start EE")
+        ax.scatter(*ee_paths[0, -1], color="purple", s=40, label="goal EE")
+        ax.legend()
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    return fig

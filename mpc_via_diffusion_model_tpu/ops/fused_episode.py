@@ -207,24 +207,32 @@ def make_fused_ddim_episode(
                                  jnp.zeros((dx,), jnp.float32))
                  if state_to_condition is not None else None)
 
-    # best-of-K selection: the candidate scorer is the runtime's
-    # `horizon_cost` (control/runtime.py:144-153) traced verbatim so the
-    # in-kernel costs — and therefore the argmin — replay the exact XLA ops
+    # best-of-K selection: the candidate scorer computes the runtime's
+    # `horizon_cost` (control/runtime.py:144-153) as a fori_loop. Mosaic's
+    # kernel lowering rejects BOTH lax.scan with extensive inputs (scanning
+    # over u_seq as xs) AND value dynamic_slice (u_cand[:, i] with a traced
+    # i) — each compiles in interpret mode but NotImplementedErrors on real
+    # TPU (found benching the K=4 episode row, round 4). Step i's controls
+    # are therefore selected by a one-hot contraction over the horizon axis
+    # (broadcasted_iota + compare lower fine), the same trick the kernel's
+    # argmin-candidate extraction uses.
     if K > 1:
         sel_cost = cost if selection_cost is None else selection_cost
 
         def _cand_costs(x0v, u_cand):
-            def horizon_cost(u_seq):
-                def body_fn(carry, u):
-                    xc, acc = carry
-                    acc = acc + sel_cost.stage(xc, u)
-                    return (plant.step(xc, u), acc), None
+            x0_b = jnp.broadcast_to(x0v, (K, dx))
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (horizon, 1), 0)
 
-                (x_f, acc), _ = jax.lax.scan(
-                    body_fn, (x0v, jnp.float32(0.0)), u_seq)
-                return acc + cost.terminal(x_f)
+            def body_fn(i, carry):
+                xc, acc = carry  # (K, dx), (K,)
+                sel = (iota_h == i).astype(jnp.float32)  # (H, 1)
+                u = jnp.sum(u_cand * sel[None], axis=1)  # (K, du)
+                acc = acc + jax.vmap(sel_cost.stage)(xc, u)
+                return jax.vmap(plant.step)(xc, u), acc
 
-            return jax.vmap(horizon_cost)(u_cand)
+            x_f, acc = jax.lax.fori_loop(
+                0, horizon, body_fn, (x0_b, jnp.zeros((K,), jnp.float32)))
+            return acc + jax.vmap(cost.terminal)(x_f)
 
         costs_call = _kernel_safe_fn(_cand_costs, flat,
                                      jnp.zeros((dx,), jnp.float32),

@@ -40,7 +40,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--student-dir", default="artifacts/distilled_quadrotor_guided")
     p.add_argument("--teacher", default="artifacts/flagship_quadrotor")
-    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--steps", type=int, default=60,
+                   help="quality-metric episode length (the flagship "
+                        "protocol; the student is trained on 60-step tasks "
+                        "and drifts past the goal on much longer episodes)")
+    p.add_argument("--rate-steps", type=int, default=600,
+                   help="sustained-rate episode length (one long episode "
+                        "per dispatch hides the ~31 ms relay; ADVICE r3: "
+                        "both protocols now live in one bench.json)")
     p.add_argument("--eval-starts", type=int, default=16)
     p.add_argument("--candidates", type=int, default=0,
                    help="if >1, also bench the in-kernel best-of-K episode "
@@ -126,18 +133,22 @@ def main():
     out["episode_hz_pipelined"] = round(
         args.steps / pipelined_time_fn(lambda xx, kk: episode(xx, kk)[0], argse), 1)
 
-    # sustained: dependent chain, one sync (bench.py headline protocol)
-    n_chain = 10
+    # sustained: one LONG episode per dispatch (rate protocol; quality
+    # metrics above stay on the 60-step task protocol — the student drifts
+    # on 10x-longer horizons it never trained for, so a 600-step episode is
+    # a RATE measurement, not a quality one)
+    episode_rate = jax.jit(make_fused_ddim_episode(
+        model, student, schedule, times, in_stats, c_stats, plant, quad_cost,
+        n_steps=args.rate_steps))
+    jax.block_until_ready(episode_rate(ev_j[0], ks[0])[0])
     sus = []
     for r in range(3):
-        x_cur = ev_j[0]
         t0 = time.perf_counter()
-        for i in range(n_chain):
-            xtr, _, _ = episode(x_cur, jax.random.fold_in(key, 900 + 10 * r + i))
-            x_cur = xtr[-1]
-        jax.block_until_ready(x_cur)
+        jax.block_until_ready(
+            episode_rate(ev_j[0], jax.random.fold_in(key, 900 + r))[0])
         sus.append(time.perf_counter() - t0)
-    out["episode_hz_sustained"] = round(n_chain * args.steps / min(sus), 1)
+    out["rate_steps"] = args.rate_steps
+    out["episode_hz_sustained"] = round(args.rate_steps / min(sus), 1)
 
     print(json.dumps({"metric": "quadrotor_student_fused_episode_hz",
                       "value": out["episode_hz_pipelined"], "unit": "Hz",
@@ -160,18 +171,19 @@ def main():
         out[f"episode_k{K}_hz_pipelined"] = round(
             args.steps / pipelined_time_fn(
                 lambda xx, kk: episode_k(xx, kk)[0], argsk), 1)
+        episode_k_rate = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant,
+            quad_cost, n_steps=args.rate_steps, n_candidates=K,
+            selection_cost=make_select_cost(quad_cost)))
+        jax.block_until_ready(episode_k_rate(ev_j[0], ks[0])[0])
         sus = []
         for r in range(3):
-            x_cur = ev_j[0]
             t0 = time.perf_counter()
-            for i in range(n_chain):
-                xtr, _, _ = episode_k(
-                    x_cur, jax.random.fold_in(key, 700 + 10 * r + i))
-                x_cur = xtr[-1]
-            jax.block_until_ready(x_cur)
+            jax.block_until_ready(episode_k_rate(
+                ev_j[0], jax.random.fold_in(key, 700 + r))[0])
             sus.append(time.perf_counter() - t0)
         out[f"episode_k{K}_hz_sustained"] = round(
-            n_chain * args.steps / min(sus), 1)
+            args.rate_steps / min(sus), 1)
         print(json.dumps({
             "metric": f"quadrotor_student_fused_episode_k{K}_hz",
             "value": out[f"episode_k{K}_hz_pipelined"], "unit": "Hz",

@@ -59,8 +59,14 @@ CLAIMS = [
      "ladders.artifacts/distilled_deep.1eval.expert_basin_mean_ratio",
      dict(nd=4), ["BENCH.md", "README.md"], "deep 1-eval in-basin ratio"),
     # --- deep-student TPU rates (written by bench_deep_students.py) ---
-    # NOTE: added once artifacts/distilled_deep/bench.json is committed by
-    # the round-4 TPU bench run — see the Hz-claims block appended below.
+    ("artifacts/distilled_deep/bench.json", "deep_distilled_1eval_sustained_hz",
+     dict(nd=0, comma=True), ["BENCH.md", "README.md"],
+     "deep 1-eval sustained Hz"),
+    ("artifacts/distilled_deep/bench.json", "deep_distilled_2eval_sustained_hz",
+     dict(nd=0, comma=True), ["BENCH.md"], "deep 2-eval sustained Hz"),
+    ("artifacts/distilled_deep/bench.json",
+     "deep_distilled_1eval_k4_sustained_hz", dict(nd=0, comma=True),
+     ["BENCH.md", "README.md"], "deep 1-eval in-kernel K=4 sustained Hz"),
     # --- panda flagship (true RNE closed loop) ---
     ("artifacts/flagship_panda_rbd/report.json",
      "closed_loop_cost_diffusion_mean10", dict(nd=1),

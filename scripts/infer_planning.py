@@ -1,10 +1,18 @@
 """Motion-planning inference CLI (the reference 'mpd' pipeline).
 
-Replaces `scripts/inference/inference_(mpd).py`: generate (or load) a 2-D
+Replaces `scripts/inference/inference_(mpd).py`: generate (or load) an
 obstacle environment and trajectory dataset, train-or-load an unconditioned
 temporal U-Net, then sample guided trajectories between a random
 collision-free start/goal with hard inpainting conditions, report the
 planning metrics, and render the result.
+
+Two robots (reference: env/robot instantiation from dataset metadata,
+`mpd/datasets/trajectories.py:44-55`):
+- ``--robot point2d`` (default): 2-D point robot in `ENV_SIMPLE_2D`.
+- ``--robot panda``: the 7-DoF Franka in a 3-D sphere/box world
+  (`envs/planning3d`), collision-sphere FK clearance, joint-space planning
+  with hard conds {0, H-1} and the FK-differentiated collision guide
+  (VERDICT r3 next #4 — the reference's RobotPanda planning configuration).
 """
 from __future__ import annotations
 
@@ -14,11 +22,13 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import json
 import os
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--robot", default="point2d", choices=["point2d", "panda"])
     p.add_argument("--checkpoint", default=None, help="trained model ckpt")
     p.add_argument("--train-steps", type=int, default=0,
                    help="train the denoiser on the generated trajectories first")
@@ -26,6 +36,8 @@ def main():
     p.add_argument("--horizon", type=int, default=64)
     p.add_argument("--n-diffusion-steps", type=int, default=25)
     p.add_argument("--guide-scale", type=float, default=0.1)
+    p.add_argument("--n-tasks", type=int, default=16)
+    p.add_argument("--n-trajs-per-task", type=int, default=8)
     p.add_argument("--results-dir", default="logs/planning")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -40,34 +52,52 @@ def main():
     from mpc_via_diffusion_model_tpu.control import make_planner
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
     from mpc_via_diffusion_model_tpu.data.trajectories import (
-        TrajectoryDataset, generate_trajectories_gpmp,
+        TrajectoryDataset, generate_arm_trajectories_gpmp,
+        generate_trajectories_gpmp,
     )
     from mpc_via_diffusion_model_tpu.diffusion import (
-        GaussianDiffusion, collision_avoidance_guide, gp_prior_guide,
-        first_order_smoothness_guide, make_guide,
+        GaussianDiffusion, collision_avoidance_guide,
+        config_collision_avoidance_guide, first_order_smoothness_guide,
+        make_guide,
     )
-    from mpc_via_diffusion_model_tpu.envs import ENV_SIMPLE_2D
-    from mpc_via_diffusion_model_tpu.eval.plotting import plot_planning_env, save_fig
+    from mpc_via_diffusion_model_tpu.envs import ENV_SIMPLE_2D, make_panda_arm_env
+    from mpc_via_diffusion_model_tpu.eval.plotting import (
+        plot_planning_env, plot_planning_env_3d, save_fig,
+    )
     from mpc_via_diffusion_model_tpu.models import TemporalUnet
     from mpc_via_diffusion_model_tpu.train import load_checkpoint
 
-    env = ENV_SIMPLE_2D
     key = jax.random.PRNGKey(args.seed)
     k_data, k_plan = jax.random.split(key)
 
-    print("generating trajectory dataset (GPMP-style batched optimizer)...")
-    trajs, valid = generate_trajectories_gpmp(
-        env, k_data, n_tasks=16, n_trajs_per_task=8, horizon=args.horizon,
-    )
+    if args.robot == "panda":
+        env = make_panda_arm_env()
+        q_dim = 7
+        print("generating 7-DoF arm trajectory dataset (GPMP-style batched "
+              "optimizer over FK collision spheres)...")
+        trajs, valid = generate_arm_trajectories_gpmp(
+            env, k_data, n_tasks=args.n_tasks,
+            n_trajs_per_task=args.n_trajs_per_task, horizon=args.horizon,
+        )
+        coll_guide = config_collision_avoidance_guide(env)
+    else:
+        env = ENV_SIMPLE_2D
+        q_dim = 2
+        print("generating trajectory dataset (GPMP-style batched optimizer)...")
+        trajs, valid = generate_trajectories_gpmp(
+            env, k_data, n_tasks=args.n_tasks,
+            n_trajs_per_task=args.n_trajs_per_task, horizon=args.horizon,
+        )
+        coll_guide = collision_avoidance_guide(env)
     ds = TrajectoryDataset.from_arrays(np.asarray(trajs[valid]), env=env)
     print(f"dataset: {ds.n_trajs} collision-free trajectories")
 
     model = TemporalUnet(
-        state_dim=2, n_support_points=args.horizon, unet_input_dim=32,
+        state_dim=q_dim, n_support_points=args.horizon, unet_input_dim=32,
         dim_mults=(1, 2, 4), conditioning_type=None,
     )
     diffusion = GaussianDiffusion(schedule=make_schedule("exponential", args.n_diffusion_steps))
-    x = jnp.zeros((1, args.horizon, 2))
+    x = jnp.zeros((1, args.horizon, q_dim))
     params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((1,), jnp.int32))
     if args.checkpoint:
         state, _ = load_checkpoint(args.checkpoint)
@@ -96,7 +126,7 @@ def main():
         params = state.ema_params
 
     guide = make_guide(
-        [(collision_avoidance_guide(env), 1.0),
+        [(coll_guide, 1.0),
          (first_order_smoothness_guide(), 0.1)],
         unnormalize_fn=ds.unnormalize_trajectories,
         clip_grad=True, scale=args.guide_scale,
@@ -111,7 +141,17 @@ def main():
 
     os.makedirs(args.results_dir, exist_ok=True)
     np.save(os.path.join(args.results_dir, "trajs.npy"), result.trajs)
-    fig = plot_planning_env(env, result.trajs, result.best_idx)
+    with open(os.path.join(args.results_dir, "metrics.json"), "w") as f:
+        json.dump({"robot": args.robot, "n_dataset_trajs": ds.n_trajs,
+                   **result.metrics}, f, indent=2)
+    if args.robot == "panda":
+        from mpc_via_diffusion_model_tpu.dynamics.arm import panda_fk
+
+        ee = jax.vmap(jax.vmap(panda_fk))(jnp.asarray(result.trajs))
+        np.save(os.path.join(args.results_dir, "ee_paths.npy"), np.asarray(ee))
+        fig = plot_planning_env_3d(env.world, np.asarray(ee), result.best_idx)
+    else:
+        fig = plot_planning_env(env, result.trajs, result.best_idx)
     save_fig(fig, os.path.join(args.results_dir, "planning"))
     print(f"saved to {args.results_dir}")
 

@@ -46,7 +46,8 @@ def make_task_cost(quad_cost):
     return TaskCost()
 
 
-def make_select_cost(quad_cost, margin=0.15, weight=2e5):
+def make_select_cost(quad_cost, margin=0.15, weight=2e5, centers=None,
+                     radii=None):
     """Candidate-SELECTION cost for best-of-K replanning
     (`control.make_closed_loop(n_candidates=K, cost=...)`).
 
@@ -61,12 +62,16 @@ def make_select_cost(quad_cost, margin=0.15, weight=2e5):
     single grazing step dominate the quadratic's candidate-to-candidate
     spread (measured ~3e3 over the 48-step horizon): at clearance 0.05 the
     shell penetration is 0.1, so 2e5 * 0.1^2 = 2e3 PER STEP — near-
-    lexicographic safety-first selection."""
+    lexicographic safety-first selection.
+
+    ``centers``/``radii`` override the canonical scene (they may be traced
+    values — scene_conditioned_quadrotor.py closes a per-scene selection
+    cost over its vmapped scene parameters)."""
     import jax.numpy as jnp
     from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
 
-    centers = jnp.asarray(OBS_CENTERS)
-    radii = jnp.asarray(OBS_RADII) + margin
+    centers = jnp.asarray(OBS_CENTERS if centers is None else centers)
+    radii = jnp.asarray(OBS_RADII if radii is None else radii) + margin
     u_hover = jnp.array([HOVER_THRUST, 0.0, 0.0, 0.0])
 
     class SelectCost:
@@ -220,14 +225,21 @@ def track_metrics(xt, stage_costs=None, centers=None, radii=None):
     else:
         clearance = min_clearance(xt, centers, radii)
     goal_dist = np.linalg.norm(xt[:, -1, 0:3], axis=-1)
+    # a diverged track (non-finite states) is neither collision-free nor at
+    # the goal (NaN comparisons are False, so cf/rf already count it
+    # against), but it must not poison the MEANS with NaN (VERDICT r3
+    # weak #3: min_clearance_mean NaN leaked into scene_conditioned rows)
+    fin = np.isfinite(clearance) & np.isfinite(goal_dist)
     cf, rf = clearance > 0, goal_dist < 0.5
     out = {
         "collision_free_fraction": float(cf.mean()),
-        "min_clearance_mean": float(clearance.mean()),
-        "goal_dist_mean": float(goal_dist.mean()),
+        "min_clearance_mean": float(clearance[fin].mean()) if fin.any() else None,
+        "goal_dist_mean": float(goal_dist[fin].mean()) if fin.any() else None,
         "goal_reach_fraction_0.5": float(rf.mean()),
         "safe_reach_fraction": float((cf & rf).mean()),
     }
+    if (~fin).any():
+        out["diverged_fraction"] = float((~fin).mean())
     if stage_costs is not None:
         out["cost_mean"] = float(np.asarray(stage_costs).sum(axis=1).mean())
     return out

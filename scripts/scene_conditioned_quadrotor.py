@@ -82,9 +82,24 @@ def main():
     p.add_argument("--w", type=float, default=0.01)
     p.add_argument("--guide-scale", type=float, default=0.1)
     p.add_argument("--t-start-guide", type=float, default=6.25)
-    p.add_argument("--n-sample-chunks", type=int, default=10)
+    p.add_argument("--n-sample-chunks", type=int, default=24)
     p.add_argument("--chunk-rows", type=int, default=2048)
-    p.add_argument("--finetune-steps", type=int, default=6000)
+    p.add_argument("--clear-margin", type=float, default=0.05,
+                   help="curation: reject plans whose open-loop rollout "
+                        "clears its own scene by less than this margin "
+                        "(0.0 reproduces the round-3 filter)")
+    p.add_argument("--progress-keep", type=float, default=0.85,
+                   help="if >0, additionally require the plan's final state "
+                        "to close the goal distance to this fraction (or "
+                        "start already near the goal) — the curation knob "
+                        "that recovered reach on the guided student "
+                        "(distill_quadrotor_guided_data.py)")
+    p.add_argument("--select-k", type=int, default=16,
+                   help="if >1, add a best-of-K eval row: the scene student "
+                        "with scene-aware margin-inflated safety-first "
+                        "candidate selection (quadrotor_task."
+                        "make_select_cost(centers=..., radii=...))")
+    p.add_argument("--finetune-steps", type=int, default=30000)
     p.add_argument("--chunk", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--finetune-lr", type=float, default=1e-3)
@@ -99,6 +114,7 @@ def main():
         args.n_sample_chunks, args.chunk_rows = 2, 256
         args.finetune_steps, args.chunk, args.batch_size = 400, 100, 64
         args.eval_scenes, args.eval_starts, args.eval_steps = 2, 4, 20
+        args.select_k = 4
 
     import jax
     if args.cpu:
@@ -168,13 +184,15 @@ def main():
             n_diffusion_steps_without_noise=5, guide=guide,
             n_guide_steps=1, t_start_guide=args.t_start_guide)
 
-        def plan_clear(u_n, x0, c, r):
+        def plan_stats(u_n, x0, c, r):
             u_seq = unnormalize(in_stats, u_n)
             states = rollout(plant, x0, u_seq, unroll=H)
-            return min_clearance_jax(states, c, r)
+            d0 = jnp.linalg.norm(x0[0:3])
+            d1 = jnp.linalg.norm(states[-1, 0:3])
+            return min_clearance_jax(states, c, r), d0, d1
 
-        clear = jax.vmap(plan_clear)(u_norm, x0s, cen, rad)
-        return u_norm, clear
+        clear, d0, d1 = jax.vmap(plan_stats)(u_norm, x0s, cen, rad)
+        return u_norm, clear, d0, d1
 
     sample_jit = jax.jit(sample_chunk)
     rng = np.random.RandomState(5)
@@ -188,8 +206,13 @@ def main():
         cen = jnp.asarray(train_c[c * B:(c + 1) * B])
         rad = jnp.asarray(train_r[c * B:(c + 1) * B])
         key, k = jax.random.split(key)
-        u_norm, clear = sample_jit(x0s, cen, rad, k)
-        keep = np.asarray(clear) > 0.0
+        u_norm, clear, d0, d1 = sample_jit(x0s, cen, rad, k)
+        # curation on both eval axes: safe WITH margin, and progressing
+        # toward the goal (the guided-student recipe's --progress-keep)
+        keep = np.asarray(clear) > args.clear_margin
+        if args.progress_keep > 0:
+            d0, d1 = np.asarray(d0), np.asarray(d1)
+            keep &= (d1 <= args.progress_keep * d0) | (d0 < 0.5)
         n_drawn += len(keep)
         feat_n = normalize(feat_stats, scene_features(cen, rad))
         ctx24 = np.concatenate(
@@ -322,6 +345,33 @@ def main():
           f"safe-reach {m_student['safe_reach_fraction']:.3f} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
+    # (c') scene student + best-of-K with SCENE-AWARE safety-first selection:
+    # K candidate plans per replan (one batched U-Net pass), scored against
+    # the scene's margin-inflated spheres — the in-runtime combination
+    # VERDICT r3 #2 asked for
+    m_student_k = None
+    if args.select_k > 1:
+        from quadrotor_task import make_select_cost
+
+        def run_scene_k(cen, rad, x0, k):
+            feat = scene_features(cen, rad)
+            sel_cost = make_select_cost(quad_cost, centers=cen, radii=rad)
+            loop = make_closed_loop(
+                diffusion, model24.apply, in_stats, c24_stats, plant,
+                sel_cost, horizon=H, n_steps=T, w=args.w,
+                n_diffusion_steps_without_noise=5,
+                n_candidates=args.select_k,
+                state_to_condition=lambda x: jnp.concatenate([x, feat]))
+            return loop(student, x0, k)
+
+        t0 = time.time()
+        runs = jax.jit(jax.vmap(run_scene_k))(pc, pr, px, pk)
+        m_student_k = metrics_by_scene(runs.x_track)
+        print(f"[eval sceneK] K={args.select_k} "
+              f"CF {m_student_k['collision_free_fraction']:.3f} "
+              f"safe-reach {m_student_k['safe_reach_fraction']:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
     # canonical-scene row (the flagship protocol scene, never up-weighted)
     from quadrotor_task import OBS_CENTERS, OBS_RADII
     cc = jnp.tile(jnp.asarray(OBS_CENTERS)[None], (S, 1, 1))
@@ -338,6 +388,9 @@ def main():
         "guide_scale": args.guide_scale,
         "t_start_guide": args.t_start_guide,
         "w": args.w,
+        "clear_margin": args.clear_margin,
+        "progress_keep": args.progress_keep,
+        "select_k": args.select_k,
         "n_kept": int(data_u.shape[0]),
         "n_drawn": int(n_drawn),
         "sample_seconds": round(t_sample, 1),
@@ -350,6 +403,8 @@ def main():
             "teacher_scene_blind": m_blind,
             "teacher_per_scene_guided_oracle": m_oracle,
             "scene_conditioned_student": m_student,
+            **({f"scene_conditioned_student_k{args.select_k}": m_student_k}
+               if m_student_k is not None else {}),
         },
         "canonical_scene_student": m_canon,
     }
