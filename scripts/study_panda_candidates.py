@@ -138,6 +138,10 @@ def main():
                 }
                 report["rows"].append(row)
                 print(json.dumps(row), flush=True)
+                # incremental write: H=128 RNE compiles are minutes each on
+                # the remote TPU — keep partial results if the queue times out
+                with open(os.path.join(args.out, "report.json"), "w") as f:
+                    json.dump(report, f, indent=2)
 
     # fused DDIM chain at K: SAME 10-seed protocol for cost + Hz rows
     if args.bench and one_eval_entry is not None:
@@ -169,6 +173,8 @@ def main():
             }
             report[f"fused_chain_k{K}"] = row
             print(json.dumps(row), flush=True)
+            with open(os.path.join(args.out, "report.json"), "w") as f:
+                json.dump(report, f, indent=2)
 
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
