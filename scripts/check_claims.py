@@ -100,6 +100,16 @@ CLAIMS = [
     # rows are ordered (3-eval K=1,4,16,64), (2-eval ...), (1-eval K=1,4,...)
     ("artifacts/student_candidates/report.json", "rows.9.ratio_mean",
      dict(nd=4), ["README.md", "BENCH.md"], "deep 1-eval K=4 ratio"),
+    # --- scene-conditioned quadrotor student (held-out scenes, round 4) ---
+    ("artifacts/scene_conditioned/report.json",
+     "held_out.scene_conditioned_student_k16.collision_free_fraction",
+     dict(nd=2), ["BENCH.md", "README.md"], "scene student K=16 CF"),
+    ("artifacts/scene_conditioned/report.json",
+     "held_out.scene_conditioned_student_k16.safe_reach_fraction",
+     dict(nd=2), ["BENCH.md", "README.md"], "scene student K=16 safe-reach"),
+    ("artifacts/scene_conditioned/report.json",
+     "held_out.teacher_per_scene_guided_oracle.collision_free_fraction",
+     dict(nd=2), ["BENCH.md", "README.md"], "scene guided-oracle CF"),
     # --- quadrotor deep ladder, 64-start wide eval (the kept full-budget run)
     ("artifacts/distilled_quadrotor_deep/wide_eval.json",
      "student_2eval.collision_free_fraction", dict(nd=2),
