@@ -70,6 +70,7 @@ def make_replan_fn(
     guide_builder: Optional[Callable] = None,
     n_guide_steps: int = 1,
     t_start_guide: float = float("inf"),
+    selection_horizon: Optional[int] = None,
 ):
     """Build ``replan(params, x0, key) -> (u_horizon, u_candidates)``.
 
@@ -141,14 +142,28 @@ def make_replan_fn(
         if n_candidates == 1:
             return u_cand[0], u_cand
 
+        # Receding-horizon control only ever applies u[0]; when the model's
+        # plan TAILS diverge from the expert's (behavior-cloning compounding
+        # — the panda's open-loop horizon cost runs ~9x the expert's while
+        # its closed loop is within 3.1%), scoring candidates on the full
+        # horizon ranks them by tail noise, not by the quality of the next
+        # few actions. `selection_horizon` truncates the scored rollout to
+        # the credible prefix (terminal cost only when the full plan is
+        # scored, since a truncated rollout's last state is not the plan's
+        # terminal state).
+        sel_h = selection_horizon or u_cand.shape[1]
+
         def horizon_cost(u_seq):
             def body(carry, u):
                 x, acc = carry
                 acc = acc + cost.stage(x, u)
                 return (plant.step(x, u), acc), None
 
-            (x_f, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), u_seq)
-            return acc + cost.terminal(x_f)
+            (x_f, acc), _ = jax.lax.scan(
+                body, (x0, jnp.float32(0.0)), u_seq[:sel_h])
+            if sel_h == u_cand.shape[1]:
+                acc = acc + cost.terminal(x_f)
+            return acc
 
         costs = jax.vmap(horizon_cost)(u_cand)
         return u_cand[jnp.argmin(costs)], u_cand
@@ -174,6 +189,7 @@ def make_closed_loop(
     guide_builder: Optional[Callable] = None,
     n_guide_steps: int = 1,
     t_start_guide: float = float("inf"),
+    selection_horizon: Optional[int] = None,
 ):
     """Build the fully-fused closed loop:
     ``closed_loop(params, x0, key) -> ClosedLoopResult``.
@@ -190,6 +206,7 @@ def make_closed_loop(
         horizon, plant.control_dim, w, n_diffusion_steps_without_noise,
         n_candidates, plant, cost, sampler, state_to_condition,
         sample_override, guide_builder, n_guide_steps, t_start_guide,
+        selection_horizon,
     )
 
     def closed_loop(params, x0, key):

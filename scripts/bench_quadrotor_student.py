@@ -49,10 +49,20 @@ def main():
                         "per dispatch hides the ~31 ms relay; ADVICE r3: "
                         "both protocols now live in one bench.json)")
     p.add_argument("--eval-starts", type=int, default=16)
-    p.add_argument("--candidates", type=int, default=0,
-                   help="if >1, also bench the in-kernel best-of-K episode "
-                        "with safety-first selection (quadrotor_task."
-                        "make_select_cost; study: artifacts/quadrotor_candidates)")
+    p.add_argument("--candidates", type=int, nargs="+", default=[],
+                   help="K values >1: also bench best-of-K with safety-first "
+                        "selection (quadrotor_task.make_select_cost; study: "
+                        "artifacts/quadrotor_candidates): the XLA runtime "
+                        "loop (control/runtime.py n_candidates) by default")
+    p.add_argument("--in-kernel", action="store_true",
+                   help="ALSO attempt the fused best-of-K episode KERNEL. "
+                        "Opt-in: the quadrotor candidate scorer currently "
+                        "SIGABRTs the Mosaic compiler in-process (jellyfish "
+                        "InferVectorLayout check failure, round 4) — the "
+                        "crash kills python itself, so it cannot be guarded "
+                        "by try/except; the cart-pole K kernel compiles and "
+                        "runs at 14.4 kHz, so this is a compiler bug on this "
+                        "op mix, not a design limit")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -155,13 +165,43 @@ def main():
                       "sustained": out["episode_hz_sustained"],
                       "max_err_vs_xla": err, **out["episode"]}), flush=True)
 
-    # ---- in-kernel best-of-K with safety-first selection ----
-    if args.candidates > 1:
-        K = args.candidates
+    # ---- best-of-K with safety-first selection ----
+    k_values = [K for K in args.candidates if K > 1]
+    if k_values:
+        sel_cost = make_select_cost(quad_cost)
+        sampler_k = make_student_ddim_sampler(schedule, model.apply, times)
+
+    for K in k_values:
+        # XLA-runtime K loop first (always compiles; the studies'
+        # quality-measured path, control/runtime.py n_candidates)
+        override_k = lambda ctx, key, K=K: sampler_k(
+            student, ctx, key, (K, 48, 4))
+        loop_k = jax.jit(make_closed_loop(
+            diffusion, model.apply, in_stats, c_stats, plant, sel_cost,
+            horizon=48, n_steps=args.steps, n_candidates=K,
+            sample_override=override_k))
+        runs_k = jax.jit(jax.vmap(lambda x0, k: loop_k(student, x0, k)))(ev_j, ks)
+        out[f"xla_k{K}"] = collision_metrics(np.asarray(runs_k.x_track))
+        argsx_k = [(ev_j[i % args.eval_starts], jax.random.fold_in(key, 300 + i))
+                   for i in range(8)]
+        out[f"xla_k{K}_hz_pipelined"] = round(
+            args.steps / pipelined_time_fn(
+                lambda xx, kk: loop_k(student, xx, kk).x_track, argsx_k), 1)
+        print(json.dumps({"metric": f"quadrotor_student_xla_k{K}_hz",
+                          "value": out[f"xla_k{K}_hz_pipelined"], "unit": "Hz",
+                          **out[f"xla_k{K}"]}), flush=True)
+
+        # checkpoint the XLA-K rows to disk BEFORE any in-kernel attempt:
+        # the Mosaic crash below is a process-killing SIGABRT, so nothing
+        # after it would run
+        with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
+            json.dump(out, f, indent=2)
+
+    for K in (k_values if args.in_kernel else []):
         episode_k = jax.jit(make_fused_ddim_episode(
             model, student, schedule, times, in_stats, c_stats, plant,
             quad_cost, n_steps=args.steps, n_candidates=K,
-            selection_cost=make_select_cost(quad_cost)))
+            selection_cost=sel_cost))
         k_tracks = np.stack([np.asarray(episode_k(ev_j[i], ks[i])[0])
                              for i in range(args.eval_starts)])
         out[f"episode_k{K}"] = collision_metrics(k_tracks)

@@ -78,13 +78,19 @@ def main():
     diffusion = GaussianDiffusion(schedule=schedule)
     rows = []
 
-    def timeit(fn, *a, reps=5):
-        jax.block_until_ready(fn(*a))
+    def timeit_scanned(step, carry0, reps=20, batches=3):
+        """Seconds per step, with `reps` steps CHAINED inside one jitted
+        lax.scan so each measurement is a single device dispatch — per-call
+        block_until_ready would charge every sub-ms forward the relay's
+        ~31 ms dispatch latency (CLAUDE.md quirk 3). Best of `batches`."""
+        prog = jax.jit(lambda c: jax.lax.scan(
+            lambda cc, _: (step(cc), None), c, None, length=reps)[0])
+        jax.block_until_ready(prog(carry0))
         dts = []
-        for _ in range(reps):
+        for _ in range(batches):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
-            dts.append(time.perf_counter() - t0)
+            jax.block_until_ready(prog(carry0))
+            dts.append((time.perf_counter() - t0) / reps)
         return min(dts)
 
     for name, dim, mults, H, ds_dim, ctx in CONFIGS:
@@ -112,14 +118,19 @@ def main():
             lowered = fwd.lower(params, x, t, c, m).compile()
             ca = lowered.cost_analysis()
             flops = float((ca or {}).get("flops", 0.0))
-            dt32 = timeit(fwd, params, x, t, c, m)
+            # the denoiser output has the input's shape, so chain it as the
+            # scan carry — consecutive steps are data-dependent and cannot
+            # be dead-code-eliminated or overlapped
+            dt32 = timeit_scanned(
+                lambda xx: model.apply(params, xx, t, c, m), x)
 
             p16 = jax.tree_util.tree_map(
                 lambda l: l.astype(jnp.bfloat16), params)
-            fwd16 = jax.jit(lambda p_, xx, tt, cc, mm: model.apply(
-                p_, xx.astype(jnp.bfloat16), tt, cc.astype(jnp.bfloat16),
-                mm.astype(jnp.bfloat16)))
-            dt16 = timeit(fwd16, p16, x, t, c, m)
+            dt16 = timeit_scanned(
+                lambda xx: model.apply(p16, xx, t, c.astype(jnp.bfloat16),
+                                       m.astype(jnp.bfloat16)
+                                       ).astype(jnp.bfloat16),
+                x.astype(jnp.bfloat16))
 
             # TP cross-over arithmetic (tp_unet.py cost model)
             psum_bytes = sum(
@@ -136,8 +147,10 @@ def main():
                 "fwd_ms_bf16": round(dt16 * 1e3, 3),
                 "bf16_speedup": round(dt32 / dt16, 2),
                 "gflops": round(flops / 1e9, 2),
-                "mfu_fp32_pct": round(
-                    100 * flops / dt32 / 394e12, 2) if flops else None,
+                # vs the ~197 TFLOP/s v5e bf16 matmul peak BENCH.md's
+                # roofline section uses
+                "mfu_bf16_pct": round(
+                    100 * flops / dt16 / 197e12, 2) if flops else None,
                 "tp_psum_ms_est": round(t_psum * 1e3, 3),
                 f"tp{ways}_wins_fp32": bool(tp_wins_fp32),
                 "tp_compute_saved_ms": round(dt32 * (1 - 1.0 / ways) * 1e3, 3),
@@ -155,9 +168,10 @@ def main():
         Bt = args.train_batch
         inputs = jnp.zeros((Bt, H, ds_dim))
         conds = jnp.zeros((Bt, ctx))
-        step_jit = jax.jit(lambda st, k: step_fn(st, inputs, conds, k))
         kt = jax.random.PRNGKey(1)
-        dtt = timeit(lambda k: step_jit(state, k), kt, reps=3)
+        dtt = timeit_scanned(
+            lambda st: step_fn(st, inputs, conds, kt)[0], state,
+            reps=10, batches=2)
         row = {
             "config": name, "params": n_params, "horizon": H,
             "train_batch": Bt,

@@ -50,6 +50,16 @@ def main():
     p.add_argument("--out", default="artifacts/panda_candidates")
     p.add_argument("--horizon", type=int, default=128)
     p.add_argument("--candidates", type=int, nargs="+", default=[1, 4, 16])
+    p.add_argument("--selection-horizons", type=int, nargs="+",
+                   default=[0, 16],
+                   help="candidate-scoring rollout depths (0 = full horizon "
+                        "+ terminal). Panda plan TAILS run ~9x the expert's "
+                        "open-loop cost (flagship_panda_rbd "
+                        "horizon_diagnosis.json) while only u[0] is applied, "
+                        "so full-horizon argmin ranks candidates by tail "
+                        "noise — truncated scoring "
+                        "(control/runtime.py selection_horizon) ranks by "
+                        "the credible prefix instead")
     p.add_argument("--steps", type=int, default=80)
     p.add_argument("--eval-seeds", type=int, default=10)
     p.add_argument("--bench", action="store_true",
@@ -120,28 +130,35 @@ def main():
                 one_eval_entry = (params, times, art)
             sampler = make_student_ddim_sampler(schedule, model.apply, times)
             for K in args.candidates:
-                override = lambda ctx, key, K=K: sampler(
-                    params, ctx, key, (K, args.horizon, 7))
-                loop = jax.jit(make_closed_loop(
-                    diffusion, model.apply, ds.normalizer.stats["inputs"],
-                    ds.normalizer.stats["condition"], plant, cost,
-                    horizon=args.horizon, n_steps=args.steps,
-                    n_candidates=K, sample_override=override,
-                    state_to_condition=to_cond))
-                costs = eval_10seed(loop, params)
-                row = {
-                    "artifact": art, "n_evals": n_ev, "K": K,
-                    "cost_mean": float(costs.mean()),
-                    "cost_std": float(costs.std()),
-                    "ratio_vs_expert": round(float(costs.mean()) / expert_cost, 4),
-                    "ratio_vs_teacher": round(float(costs.mean()) / teacher_cost, 4),
-                }
-                report["rows"].append(row)
-                print(json.dumps(row), flush=True)
-                # incremental write: H=128 RNE compiles are minutes each on
-                # the remote TPU — keep partial results if the queue times out
-                with open(os.path.join(args.out, "report.json"), "w") as f:
-                    json.dump(report, f, indent=2)
+                sel_hs = [0] if K == 1 else args.selection_horizons
+                for sel_h in sel_hs:
+                    override = lambda ctx, key, K=K: sampler(
+                        params, ctx, key, (K, args.horizon, 7))
+                    loop = jax.jit(make_closed_loop(
+                        diffusion, model.apply, ds.normalizer.stats["inputs"],
+                        ds.normalizer.stats["condition"], plant, cost,
+                        horizon=args.horizon, n_steps=args.steps,
+                        n_candidates=K, sample_override=override,
+                        state_to_condition=to_cond,
+                        selection_horizon=sel_h or None))
+                    costs = eval_10seed(loop, params)
+                    row = {
+                        "artifact": art, "n_evals": n_ev, "K": K,
+                        "selection_horizon": sel_h or args.horizon,
+                        "cost_mean": float(costs.mean()),
+                        "cost_std": float(costs.std()),
+                        "ratio_vs_expert": round(
+                            float(costs.mean()) / expert_cost, 4),
+                        "ratio_vs_teacher": round(
+                            float(costs.mean()) / teacher_cost, 4),
+                    }
+                    report["rows"].append(row)
+                    print(json.dumps(row), flush=True)
+                    # incremental write: H=128 RNE compiles are minutes each
+                    # on the remote TPU — keep partial results if the queue
+                    # times out
+                    with open(os.path.join(args.out, "report.json"), "w") as f:
+                        json.dump(report, f, indent=2)
 
     # fused DDIM chain at K: SAME 10-seed protocol for cost + Hz rows
     if args.bench and one_eval_entry is not None:
@@ -151,6 +168,7 @@ def main():
         )
         params, times, art = one_eval_entry
         key = jax.random.PRNGKey(3)
+        bench_sel_h = max(args.selection_horizons)  # truncated if swept
         for K in args.candidates:
             chain = make_fused_ddim_chain(model, params, schedule, times,
                                           n_samples=K)
@@ -159,7 +177,8 @@ def main():
                 ds.normalizer.stats["condition"], plant, cost,
                 horizon=args.horizon, n_steps=args.steps,
                 n_candidates=K, sample_override=chain,
-                state_to_condition=to_cond))
+                state_to_condition=to_cond,
+                selection_horizon=(bench_sel_h or None) if K > 1 else None))
             costs = eval_10seed(loop, params)
             dt = pipelined_time_fn(
                 lambda kk: loop(params, x0, kk).x_track,
@@ -168,6 +187,8 @@ def main():
                 "metric": f"panda_1eval_fused_chain_k{K}_hz",
                 "value": round(args.steps / dt, 1), "unit": "Hz",
                 "artifact": art,
+                "selection_horizon": (bench_sel_h or args.horizon)
+                                     if K > 1 else args.horizon,
                 "cost_mean10": float(costs.mean()),
                 "ratio_vs_expert": round(float(costs.mean()) / expert_cost, 4),
             }

@@ -118,6 +118,45 @@ def test_candidate_selection_reduces_cost(small_model, stats):
     assert j_best == pytest.approx(min(j_all), rel=1e-5)
 
 
+def test_selection_horizon_scores_the_credible_prefix(small_model):
+    """`selection_horizon` must rank candidates by TRUNCATED rollout cost:
+    a plan with cheap first actions but an expensive tail should win under
+    a short selection horizon and lose under full-horizon scoring. This is
+    the panda best-of-K fix — its sampled plan tails run ~9x the expert's
+    open-loop cost (flagship_panda_rbd horizon_diagnosis), so full-horizon
+    argmin ranks by tail noise while only u[0] is ever applied."""
+    model, _ = small_model
+    diffusion = GaussianDiffusion(schedule=make_schedule("exponential", 5))
+    plant = double_integrator()
+    cost = double_integrator_cost()
+    in_stats = NormalizerStats(
+        "limits", mins=jnp.full((1,), -10.0), maxs=jnp.full((1,), 10.0))
+    c_stats = NormalizerStats(
+        "limits", mins=jnp.full((2,), -8.0), maxs=jnp.full((2,), 8.0))
+
+    # candidate 0: zero controls for 4 steps, then saturated tail
+    # candidate 1: wrong-direction moderate controls early, zero tail
+    u_a = jnp.concatenate([jnp.zeros((4, 1)), jnp.full((H - 4, 1), 9.5)])
+    u_b = jnp.concatenate([jnp.full((4, 1), 5.0), jnp.zeros((H - 4, 1))])
+    cand_norm = jnp.stack([u_a, u_b]) / 10.0  # limits-normalized
+
+    def mk(sel_h):
+        return jax.jit(make_replan_fn(
+            diffusion, model.apply, in_stats, c_stats, horizon=H,
+            n_candidates=2, plant=plant, cost=cost,
+            sample_override=lambda ctx, key: cand_norm,
+            selection_horizon=sel_h))
+
+    x0 = jnp.array([2.0, 0.0])
+    key = jax.random.PRNGKey(0)
+    u_full, _ = mk(None)(None, x0, key)
+    u_trunc, _ = mk(4)(None, x0, key)
+    # full-horizon scoring is dominated by candidate 0's saturated tail
+    np.testing.assert_allclose(np.asarray(u_full), np.asarray(u_b), atol=1e-5)
+    # truncated scoring sees only the prefix: candidate 0's zero controls win
+    np.testing.assert_allclose(np.asarray(u_trunc), np.asarray(u_a), atol=1e-5)
+
+
 def test_nmpc_closed_loop_stabilizes_double_integrator():
     plant = double_integrator()
     cost = double_integrator_cost()
