@@ -179,7 +179,11 @@ def main():
                 n_candidates=K, sample_override=chain,
                 state_to_condition=to_cond,
                 selection_horizon=(bench_sel_h or None) if K > 1 else None))
-            costs = eval_10seed(loop, params)
+            # sequential seeds, NOT eval_10seed's vmap: vmapping 10 programs
+            # over the K=16 H=128 fused pallas chain exceeds the 16M scoped
+            # VMEM stack at compile (measured: 37.5M, round 4)
+            run1 = jax.jit(lambda k: loop(params, x0, k).stage_costs.sum())
+            costs = np.asarray([float(run1(k)) for k in eval_keys])
             dt = pipelined_time_fn(
                 lambda kk: loop(params, x0, kk).x_track,
                 [(jax.random.fold_in(key, i),) for i in range(8)])
