@@ -11,7 +11,9 @@ from .cartpole import (
 )
 from .simple_plants import pendulum, pendulum_cost, double_integrator, double_integrator_cost
 from .acrobot import acrobot, acrobot_cost, theta1_to_star, theta2_to_star
-from .quadrotor import quadrotor, quadrotor_cost, obstacle_cost
+from .quadrotor import (
+    quadrotor, quadrotor_cost, obstacle_cost, obstacle_cost_single,
+)
 from .arm import (
     PANDA_READY_POSE,
     make_panda_context,

@@ -98,3 +98,25 @@ def obstacle_cost(states: jnp.ndarray, centers: jnp.ndarray, radii: jnp.ndarray,
     d = jnp.sqrt(jnp.sum(jnp.square(pos - centers), axis=-1))  # (..., H, n_obs)
     penetration = jnp.maximum(radii - d, 0.0)
     return weight * jnp.sum(jnp.square(penetration), axis=(-1, -2))
+
+
+def obstacle_cost_single(x: jnp.ndarray, centers: jnp.ndarray,
+                         radii: jnp.ndarray, weight: float = 100.0) -> jnp.ndarray:
+    """`obstacle_cost` for ONE state vector, Mosaic-kernel-safe.
+
+    The batched form's (..., 1, 3) - (n_obs, 3) broadcast builds a rank-3
+    intermediate whose vector-layout inference SIGABRTs the Mosaic kernel
+    compiler (layout.h:320 `arr.size() >= layout_rank` check — bisected
+    round 4 on the quadrotor in-kernel best-of-K scorer). Unrolling over
+    the statically-shaped sphere list keeps every intermediate rank<=1 and
+    compiles; values match `obstacle_cost(x[None], ...)` exactly
+    (test_obstacle_cost_single_matches_batched). ``centers``/``radii`` may
+    be traced (scene-conditioned selection) — only their SHAPE is static.
+    """
+    pos = x[0:3]
+    acc = jnp.float32(0.0)
+    for j in range(centers.shape[0]):
+        d = jnp.sqrt(jnp.sum(jnp.square(pos - centers[j])))
+        pen = jnp.maximum(radii[j] - d, 0.0)
+        acc = acc + weight * pen * pen
+    return acc

@@ -55,14 +55,13 @@ def main():
                         "artifacts/quadrotor_candidates): the XLA runtime "
                         "loop (control/runtime.py n_candidates) by default")
     p.add_argument("--in-kernel", action="store_true",
-                   help="ALSO attempt the fused best-of-K episode KERNEL. "
-                        "Opt-in: the quadrotor candidate scorer currently "
-                        "SIGABRTs the Mosaic compiler in-process (jellyfish "
-                        "InferVectorLayout check failure, round 4) — the "
-                        "crash kills python itself, so it cannot be guarded "
-                        "by try/except; the cart-pole K kernel compiles and "
-                        "runs at 14.4 kHz, so this is a compiler bug on this "
-                        "op mix, not a design limit")
+                   help="ALSO bench the fused best-of-K episode KERNEL. "
+                        "Compiles since round 4's obstacle_cost_single fix: "
+                        "the selector's rank-3 (1,n_obs,3) broadcast "
+                        "SIGABRTed Mosaic layout inference (layout.h:320); "
+                        "the unrolled rank<=1 hinge lowers at K=4 and K=16 "
+                        "(bisected via AOT probes). Kept opt-in so the "
+                        "always-compiling XLA rows land first.")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -229,6 +228,10 @@ def main():
             "value": out[f"episode_k{K}_hz_pipelined"], "unit": "Hz",
             "sustained": out[f"episode_k{K}_hz_sustained"],
             **out[f"episode_k{K}"]}), flush=True)
+        # checkpoint after EACH in-kernel K: a Mosaic crash at the next K
+        # must not lose this one's rows
+        with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
+            json.dump(out, f, indent=2)
 
     with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
         json.dump(out, f, indent=2)

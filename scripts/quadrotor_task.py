@@ -68,23 +68,29 @@ def make_select_cost(quad_cost, margin=0.15, weight=2e5, centers=None,
     values — scene_conditioned_quadrotor.py closes a per-scene selection
     cost over its vmapped scene parameters)."""
     import jax.numpy as jnp
-    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import obstacle_cost
+    from mpc_via_diffusion_model_tpu.dynamics.quadrotor import (
+        obstacle_cost_single,
+    )
 
     centers = jnp.asarray(OBS_CENTERS if centers is None else centers)
     radii = jnp.asarray(OBS_RADII if radii is None else radii) + margin
     u_hover = jnp.array([HOVER_THRUST, 0.0, 0.0, 0.0])
 
+    # the single-state unrolled hinge, NOT obstacle_cost(x[None], ...):
+    # identical values, but the batched form's rank-3 broadcast SIGABRTed
+    # Mosaic when this cost is traced inside the fused episode kernel's
+    # candidate scorer (bisected round 4 — see obstacle_cost_single)
     class SelectCost:
         @staticmethod
         def stage(x, u):
             du = u - u_hover
             return (quad_cost.stage(x, du * 0.0) + 0.05 * jnp.sum(jnp.square(du))
-                    + obstacle_cost(x[None], centers, radii, weight=weight))
+                    + obstacle_cost_single(x, centers, radii, weight=weight))
 
         @staticmethod
         def terminal(x):
-            return quad_cost.terminal(x) + obstacle_cost(
-                x[None], centers, radii, weight=weight)
+            return quad_cost.terminal(x) + obstacle_cost_single(
+                x, centers, radii, weight=weight)
 
     return SelectCost()
 

@@ -231,6 +231,24 @@ def test_quadrotor_obstacle_guidance():
     assert c1 < c0
 
 
+def test_obstacle_cost_single_matches_batched():
+    """The Mosaic-kernel-safe unrolled hinge must equal the batched form
+    exactly — it replaces obstacle_cost(x[None], ...) inside the fused
+    episode kernel's candidate scorer (quadrotor_task.make_select_cost),
+    whose rank-3 broadcast SIGABRTed the Mosaic compiler (round 4)."""
+    from mpc_via_diffusion_model_tpu.dynamics import (
+        obstacle_cost, obstacle_cost_single)
+
+    rng = np.random.RandomState(0)
+    centers = jnp.asarray(rng.randn(3, 3).astype(np.float32))
+    radii = jnp.asarray([0.5, 0.8, 1.2], jnp.float32)
+    for _ in range(5):
+        x = jnp.asarray(rng.randn(12).astype(np.float32) * 1.5)
+        a = obstacle_cost(x[None], centers, radii, weight=2e5)
+        b = obstacle_cost_single(x, centers, radii, weight=2e5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_se3_orientation_goal_guide():
     """SE3 orientation-goal reward (reference GuideSE3OrientationGoal,
     guides.py:522-564): zero at a config whose EE rotation IS the target,
