@@ -117,6 +117,25 @@ CLAIMS = [
     ("artifacts/distilled_quadrotor_deep/wide_eval.json",
      "student_1eval.collision_free_fraction", dict(nd=2),
      ["README.md"], "quad deep 1-eval CF (64 starts)"),
+    # --- round 4: truncated candidate selection + in-kernel K + 3D arm ---
+    # panda_candidates rows ordered: (3-eval K=1), (3-eval K=4 full/8/16)...
+    ("artifacts/panda_candidates/report.json", "rows.3.ratio_vs_expert",
+     dict(nd=4), ["README.md"], "panda 3-eval K=4 sel_h=16 vs expert"),
+    ("artifacts/panda_candidates/report.json", "rows.3.ratio_vs_teacher",
+     dict(nd=4), ["README.md"], "panda 3-eval K=4 sel_h=16 vs teacher"),
+    ("artifacts/panda_candidates_ext/report.json", "rows.3.ratio_vs_expert",
+     dict(nd=4), ["README.md"], "panda 1-eval K=16 sel_h=32 vs expert"),
+    ("artifacts/distilled_quadrotor_guided/bench.json",
+     "episode_k16_hz_sustained", dict(nd=1, comma=True),
+     ["BENCH.md"], "quad in-kernel K=16 sustained Hz"),
+    ("artifacts/distilled_quadrotor_guided/bench.json",
+     "episode_k16.safe_reach_fraction", dict(nd=2),
+     ["README.md", "BENCH.md"], "quad in-kernel K=16 safe-reach"),
+    ("artifacts/planning3d/metrics.json", "fraction_free",
+     dict(nd=2), ["README.md", "BENCH.md"], "planning3d fraction_free"),
+    ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
+     "cumulative_cost_ratio_by_depth.128", dict(nd=1),
+     ["README.md"], "panda horizon-decay ratio at depth 128"),
 ]
 
 
