@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from .base import Plant, QuadraticCost
 
-__all__ = ["quadrotor", "quadrotor_cost", "obstacle_cost"]
+__all__ = ["quadrotor", "quadrotor_cost", "obstacle_cost",
+           "obstacle_cost_single"]
 
 _G = 9.81
 

@@ -5,6 +5,7 @@ from .trainer import (
     Trainer,
     EarlyStopper,
     make_train_step,
+    make_custom_train_step,
     make_scanned_train_steps,
     make_eval_step,
     make_optimizer,

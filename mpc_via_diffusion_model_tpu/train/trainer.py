@@ -103,23 +103,22 @@ def make_optimizer(lr: float, clip_grad_max_norm: float = 1.0) -> optax.Gradient
     )
 
 
-def make_train_step(
-    diffusion: GaussianDiffusion,
-    apply_fn: Callable,
+def make_custom_train_step(
+    loss_fn: Callable,
     optimizer: optax.GradientTransformation,
     ema_decay: float = 0.995,
     step_start_ema: int = 1000,
     update_ema_every: int = 10,
 ):
-    """Build the jitted train step.
+    """The NaN-guarded/EMA train step for an ARBITRARY loss.
 
-    ``apply_fn(params, x, t, context, context_mask)`` is the denoiser forward.
-    Returns step(state, inputs_norm, condition_norm, key) -> (state, metrics).
+    ``loss_fn(params, inputs_norm, condition_norm, key) -> scalar``. This is
+    the single home of the guard/revert/EMA machinery — `make_train_step`
+    instantiates it with the diffusion loss; fine-tune scripts (e.g.
+    scripts/onpolicy_panda.py's grid-time recon loss) with theirs, so a fix
+    to the guard lands everywhere. Returns
+    ``step(state, inputs_norm, condition_norm, key) -> (state, metrics)``.
     """
-
-    def loss_fn(params, inputs_norm, condition_norm, key):
-        denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
-        return diffusion.loss(denoise, inputs_norm, condition_norm, key)
 
     def train_step(state: TrainState, inputs_norm, condition_norm, key):
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -160,6 +159,29 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(
+    diffusion: GaussianDiffusion,
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.995,
+    step_start_ema: int = 1000,
+    update_ema_every: int = 10,
+):
+    """Build the jitted train step.
+
+    ``apply_fn(params, x, t, context, context_mask)`` is the denoiser forward.
+    Returns step(state, inputs_norm, condition_norm, key) -> (state, metrics).
+    """
+
+    def loss_fn(params, inputs_norm, condition_norm, key):
+        denoise = lambda x, t, c, m: apply_fn(params, x, t, c, m)
+        return diffusion.loss(denoise, inputs_norm, condition_norm, key)
+
+    return make_custom_train_step(
+        loss_fn, optimizer, ema_decay=ema_decay,
+        step_start_ema=step_start_ema, update_ema_every=update_ema_every)
 
 
 def make_scanned_train_steps(train_step: Callable, n_inner: int):

@@ -25,9 +25,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _resolve(obj, path):
-    """Walk 'rounds.0.cost_ratio_vs_expert'-style paths."""
+    """Walk 'rounds.0.cost_ratio_vs_expert'-style paths. A list segment may
+    also be a KEY MATCH '[k1=v1,k2=v2]' selecting the unique row whose
+    fields equal the given values (values compared as strings) — positional
+    indices into study 'rows' silently shift when a study is rerun with a
+    different sweep, so key claims by content, not position."""
     for part in path.split("."):
-        obj = obj[int(part)] if isinstance(obj, list) else obj[part]
+        if part.startswith("[") and part.endswith("]") and isinstance(obj, list):
+            crit = dict(kv.split("=", 1) for kv in part[1:-1].split(","))
+            hits = [r for r in obj
+                    if all(str(r.get(k)) == v for k, v in crit.items())]
+            if len(hits) != 1:
+                raise KeyError(f"{part}: matched {len(hits)} rows, need 1")
+            obj = hits[0]
+        else:
+            obj = obj[int(part)] if isinstance(obj, list) else obj[part]
     return obj
 
 
@@ -97,8 +109,8 @@ CLAIMS = [
     ("artifacts/amortized/report.json", "amortized_wide.ratio_mean",
      dict(nd=4), ["README.md"], "amortized MLP cost ratio"),
     # --- best-of-K study on the committed deep students ---
-    # rows are ordered (3-eval K=1,4,16,64), (2-eval ...), (1-eval K=1,4,...)
-    ("artifacts/student_candidates/report.json", "rows.9.ratio_mean",
+    ("artifacts/student_candidates/report.json",
+     "rows.[artifact=artifacts/distilled_deep,n_evals=1,K=4].ratio_mean",
      dict(nd=4), ["README.md", "BENCH.md"], "deep 1-eval K=4 ratio"),
     # --- scene-conditioned quadrotor student (held-out scenes, round 4) ---
     ("artifacts/scene_conditioned/report.json",
@@ -118,12 +130,14 @@ CLAIMS = [
      "student_1eval.collision_free_fraction", dict(nd=2),
      ["README.md"], "quad deep 1-eval CF (64 starts)"),
     # --- round 4: truncated candidate selection + in-kernel K + 3D arm ---
-    # panda_candidates rows ordered: (3-eval K=1), (3-eval K=4 full/8/16)...
-    ("artifacts/panda_candidates/report.json", "rows.3.ratio_vs_expert",
+    ("artifacts/panda_candidates/report.json",
+     "rows.[n_evals=3,K=4,selection_horizon=16].ratio_vs_expert",
      dict(nd=4), ["README.md"], "panda 3-eval K=4 sel_h=16 vs expert"),
-    ("artifacts/panda_candidates/report.json", "rows.3.ratio_vs_teacher",
+    ("artifacts/panda_candidates/report.json",
+     "rows.[n_evals=3,K=4,selection_horizon=16].ratio_vs_teacher",
      dict(nd=4), ["README.md"], "panda 3-eval K=4 sel_h=16 vs teacher"),
-    ("artifacts/panda_candidates_ext/report.json", "rows.3.ratio_vs_expert",
+    ("artifacts/panda_candidates_ext/report.json",
+     "rows.[n_evals=1,K=16,selection_horizon=32].ratio_vs_expert",
      dict(nd=4), ["README.md"], "panda 1-eval K=16 sel_h=32 vs expert"),
     ("artifacts/distilled_quadrotor_guided/bench.json",
      "episode_k16_hz_sustained", dict(nd=1, comma=True),

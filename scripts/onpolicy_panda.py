@@ -19,7 +19,7 @@ The fix, diffusion-native DAgger:
    single grid time t*, so the recon target at t* IS its output plan: this
    trains "at the states you actually visit, output the expert's plan"
    without touching the teacher or the rest of the ladder.
-4. Eval on the standard 10-seed protocol, K=1 and K=4 truncated selection.
+4. Eval on the standard 10-seed protocol: K=1, K=4 sel_h=16, K=16 sel_h=32.
 
 Writes artifacts/onpolicy_panda/{student_1eval.pkl, report.json}.
 """
@@ -53,7 +53,11 @@ def main():
                         "start for collection diversity")
     p.add_argument("--steps", type=int, default=80)
     p.add_argument("--ilqr-iters", type=int, default=25)
-    p.add_argument("--train-steps", type=int, default=4000)
+    p.add_argument("--train-steps", type=int, default=4000,
+                   help="fine-tune steps PER DAgger iteration")
+    p.add_argument("--iterations", type=int, default=2,
+                   help="DAgger iterations (collect under the current "
+                        "student each time; expert pool aggregated)")
     p.add_argument("--chunk", type=int, default=250)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--onpolicy-frac", type=float, default=0.5)
@@ -66,7 +70,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import optax
 
     from mpc_via_diffusion_model_tpu.control import make_closed_loop
     from mpc_via_diffusion_model_tpu.core.schedules import make_schedule
@@ -81,7 +84,8 @@ def main():
     from mpc_via_diffusion_model_tpu.solvers import ILQRConfig
     from mpc_via_diffusion_model_tpu.solvers.ilqr import ilqr_solve_batched
     from mpc_via_diffusion_model_tpu.train import (
-        TrainState, make_optimizer, make_scanned_train_steps,
+        TrainState, make_custom_train_step, make_optimizer,
+        make_scanned_train_steps,
     )
 
     os.makedirs(args.out, exist_ok=True)
@@ -127,41 +131,7 @@ def main():
         costs = np.asarray(runs.stage_costs.sum(axis=1))
         return float(costs.mean()), float(costs.std())
 
-    t0 = time.time()
-    # ---- 1. collect on-policy states ----
-    key = jax.random.PRNGKey(123)
-    jit_x0 = x0_eval[None] + jnp.concatenate([
-        jax.random.uniform(key, (args.collect_starts, 7),
-                           minval=-args.jitter, maxval=args.jitter),
-        jnp.zeros((args.collect_starts, 7))], axis=-1)
-    loop_k1 = make_loop(student0, 1)
-    ks = jax.random.split(jax.random.PRNGKey(11), args.collect_starts)
-    runs = jax.jit(jax.vmap(lambda x0v, k: loop_k1(student0, x0v, k)))(
-        jit_x0, ks)
-    visited = np.asarray(runs.x_track[:, :-1]).reshape(-1, 14)  # (S*steps, 14)
-    print(f"[collect] {len(visited)} visited states "
-          f"({time.time() - t0:.0f}s)", flush=True)
-
-    # ---- 2. expert iLQR solves at visited states ----
-    t1 = time.time()
-    cfg = ILQRConfig(horizon=H, n_iterations=args.ilqr_iters)
-    xs = jnp.asarray(visited)
-    u_init = jnp.zeros((len(visited), H, plant.control_dim))
-    # chunk the batched solve: one giant vmapped iLQR dispatch at H=128
-    # risks the >10 min TPU-worker crash (CLAUDE.md quirk 6)
-    sols = []
-    CH = 256
-    solve = jax.jit(lambda xb, ub: ilqr_solve_batched(plant, cost, xb, ub, cfg).us)
-    for i in range(0, len(visited), CH):
-        sols.append(np.asarray(solve(xs[i:i + CH], u_init[:len(xs[i:i + CH])])))
-    expert_plans = np.concatenate(sols)  # (N, H, 7)
-    print(f"[ilqr] {len(expert_plans)} expert solves "
-          f"({time.time() - t1:.0f}s)", flush=True)
-
-    # ---- 3. fine-tune at the student's grid time ----
-    onp_inputs = np.asarray(normalize(in_stats, jnp.asarray(expert_plans)))
-    onp_conds = np.asarray(normalize(
-        c_stats, jax.vmap(to_cond)(jnp.asarray(visited))))
+    # ---- fine-tune loss at the student's grid time ----
     t_star = int(times[0])
     abar = np.asarray(schedule.alphas_cumprod, np.float64)
     sra = float(np.sqrt(1.0 / abar[t_star]))
@@ -181,69 +151,115 @@ def main():
         return jnp.mean(jnp.square(recon - x0b))
 
     optimizer = make_optimizer(lr=args.lr)
+    # the shared NaN-guard/EMA step with the custom grid-time loss; EMA
+    # decays from step 0 and updates every step (fine-tune of an
+    # already-good EMA checkpoint, not cold training)
+    train_step = make_custom_train_step(
+        loss_fn, optimizer, step_start_ema=0, update_ema_every=1)
 
-    def train_step(state, inputs_norm, condition_norm, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, inputs_norm, condition_norm, key)
-        ok = jnp.logical_and(
-            jnp.isfinite(loss),
-            jnp.all(jnp.asarray([jnp.all(jnp.isfinite(g))
-                                 for g in jax.tree_util.tree_leaves(grads)])))
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new_params, state.params)
-        new_opt = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new_opt, state.opt_state)
-        step = state.step + 1
-        # EMA from step 0 (fine-tune of an already-good EMA checkpoint)
-        new_ema = jax.tree_util.tree_map(
-            lambda e, pp: e * 0.995 + pp * 0.005, state.ema_params, new_params)
-        return TrainState(new_params, new_ema, new_opt, step), {
-            "loss": loss, "update_skipped": jnp.logical_not(ok)}
-
-    # 50/50 mixed stream: each chunk draws from one source, alternating —
-    # keeps the scanned-step machinery unchanged (same-shape batches)
+    # ---- DAgger iterations: collect -> iLQR-label -> fine-tune, with the
+    # on-policy pool AGGREGATED across iterations (Ross et al. 2011 —
+    # non-aggregated online updates forget iteration-1 states) ----
     chunk_fn = make_scanned_train_steps(train_step, args.chunk)
     chunk_jit = jax.jit(lambda st, a, b, k: chunk_fn(st, a, b, k, args.batch_size))
-    state = TrainState(
-        params=student0,
-        ema_params=jax.tree_util.tree_map(jnp.copy, student0),
-        opt_state=optimizer.init(student0), step=jnp.int32(0))
-    onp_inputs_j = jnp.asarray(onp_inputs)
-    onp_conds_j = jnp.asarray(onp_conds)
-    key = jax.random.PRNGKey(77)
-    n_chunks = args.train_steps // args.chunk
-    n_onp = int(round(args.onpolicy_frac * n_chunks))
-    onp_slots = (set(np.round(np.linspace(0, n_chunks - 1, n_onp)).astype(int))
-                 if n_onp else set())
-    order = ["onp" if i in onp_slots else "ds" for i in range(n_chunks)]
-    losses = {"onp": [], "ds": []}
-    t2 = time.time()
-    for c, src in enumerate(order):
-        key, k = jax.random.split(key)
-        if src == "onp":
-            state, loss = chunk_jit(state, onp_inputs_j, onp_conds_j, k)
-        else:
-            state, loss = chunk_jit(state, ds.inputs_normalized,
-                                    ds.condition_normalized, k)
-        losses[src].append(float(loss))
-    student = jax.device_get(state.ema_params)
+    cfg = ILQRConfig(horizon=H, n_iterations=args.ilqr_iters)
+    solve = jax.jit(
+        lambda xb, ub: ilqr_solve_batched(plant, cost, xb, ub, cfg).us)
     _rng = lambda v: f"{v[0]:.4f}->{v[-1]:.4f}" if v else "n/a"
-    print(f"[train] {args.train_steps} steps ({time.time() - t2:.0f}s): "
-          f"onp loss {_rng(losses['onp'])}, ds loss {_rng(losses['ds'])}",
-          flush=True)
 
-    # ---- 4. eval: before/after, K=1 and K=4 truncated ----
+    cur = student0
+    pool_inputs, pool_conds = [], []
+    losses = {"onp": [], "ds": []}
+    n_visited = 0
+    for it in range(args.iterations):
+        # 1. collect on-policy states under the CURRENT student
+        t0 = time.time()
+        key_x0 = jax.random.PRNGKey(123 + it)
+        jit_x0 = x0_eval[None] + jnp.concatenate([
+            jax.random.uniform(key_x0, (args.collect_starts, 7),
+                               minval=-args.jitter, maxval=args.jitter),
+            jnp.zeros((args.collect_starts, 7))], axis=-1)
+        loop_k1 = make_loop(cur, 1)
+        ks = jax.random.split(jax.random.PRNGKey(11 + it), args.collect_starts)
+        runs = jax.jit(jax.vmap(lambda x0v, k: loop_k1(cur, x0v, k)))(
+            jit_x0, ks)
+        visited = np.asarray(runs.x_track[:, :-1]).reshape(-1, 14)
+        n_visited += len(visited)
+        print(f"[it {it}] collect: {len(visited)} states "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+        # 2. expert iLQR solves, chunked (one giant H=128 dispatch risks
+        # the >10 min TPU-worker crash, CLAUDE.md quirk 6)
+        t1 = time.time()
+        xs = jnp.asarray(visited)
+        CH = 256
+        u0s = jnp.zeros((CH, H, plant.control_dim))
+        sols = [np.asarray(solve(xs[i:i + CH], u0s[:len(xs[i:i + CH])]))
+                for i in range(0, len(visited), CH)]
+        expert_plans = np.concatenate(sols)
+        print(f"[it {it}] ilqr: {len(expert_plans)} solves "
+              f"({time.time() - t1:.0f}s)", flush=True)
+
+        pool_inputs.append(np.asarray(
+            normalize(in_stats, jnp.asarray(expert_plans))))
+        pool_conds.append(np.asarray(normalize(
+            c_stats, jax.vmap(to_cond)(jnp.asarray(visited)))))
+        # the growing pool shape costs one chunk_jit recompile per
+        # iteration (~1 min) — acceptable at iterations<=3; preallocate +
+        # mask if this ever scales up
+        onp_inputs_j = jnp.asarray(np.concatenate(pool_inputs))
+        onp_conds_j = jnp.asarray(np.concatenate(pool_conds))
+
+        # 3. fine-tune from the current student on the 50/50 mixed stream:
+        # each chunk draws from one source (same-shape batches keep the
+        # scanned-step machinery unchanged)
+        state = TrainState(
+            params=cur,
+            ema_params=jax.tree_util.tree_map(jnp.copy, cur),
+            opt_state=optimizer.init(cur), step=jnp.int32(0))
+        key = jax.random.PRNGKey(77 + it)
+        n_chunks = args.train_steps // args.chunk
+        n_onp = int(round(args.onpolicy_frac * n_chunks))
+        onp_slots = (set(np.round(
+            np.linspace(0, n_chunks - 1, n_onp)).astype(int))
+            if n_onp else set())
+        t2 = time.time()
+        it_losses = {"onp": [], "ds": []}
+        for c in range(n_chunks):
+            key, k = jax.random.split(key)
+            if c in onp_slots:
+                state, loss = chunk_jit(state, onp_inputs_j, onp_conds_j, k)
+                it_losses["onp"].append(float(loss))
+            else:
+                state, loss = chunk_jit(state, ds.inputs_normalized,
+                                        ds.condition_normalized, k)
+                it_losses["ds"].append(float(loss))
+        cur = jax.device_get(state.ema_params)
+        losses["onp"] += it_losses["onp"]
+        losses["ds"] += it_losses["ds"]
+        print(f"[it {it}] train {args.train_steps} steps "
+              f"({time.time() - t2:.0f}s): onp {_rng(it_losses['onp'])}, "
+              f"ds {_rng(it_losses['ds'])}", flush=True)
+    student = cur
+    # persist the trained weights BEFORE the eval loop: each eval below is
+    # a fresh multi-minute jit compile, and a relay drop there (CLAUDE.md
+    # quirk 6) must not discard the multi-minute DAgger run
+    with open(os.path.join(args.out, "student_1eval.pkl"), "wb") as f:
+        pickle.dump(student, f)
+
+    # ---- 4. eval: K=1 and the selection operating points ----
     report = {
         "expert_closed_loop_cost": expert_cost,
         "teacher_closed_loop_cost_mean10": teacher_cost,
         "times": times,
         "protocol": "x0=0.3rad, 80 steps, 10 seeds PRNGKey(7)",
         "collect": {"starts": args.collect_starts, "jitter": args.jitter,
-                    "n_states": int(len(visited)),
+                    "iterations": args.iterations,
+                    "n_states": int(n_visited),
                     "ilqr_iters": args.ilqr_iters},
-        "train": {"steps": args.train_steps, "lr": args.lr,
+        "train": {"steps_per_iteration": args.train_steps,
+                  "total_steps": args.train_steps * args.iterations,
+                  "lr": args.lr,
                   "onpolicy_frac": args.onpolicy_frac,
                   "final_loss_onp": losses["onp"][-1] if losses["onp"] else None,
                   "final_loss_ds": losses["ds"][-1] if losses["ds"] else None},
@@ -263,7 +279,7 @@ def main():
     except (OSError, KeyError):
         pass
     report["before"] = before
-    for K, sel_h in ((1, None), (4, 16)):
+    for K, sel_h in ((1, None), (4, 16), (16, 32)):
         m, s = eval_student(student, K, sel_h)
         row = {"student": "onpolicy", "K": K,
                "selection_horizon": sel_h or H,
@@ -275,8 +291,6 @@ def main():
         with open(os.path.join(args.out, "report.json"), "w") as f:
             json.dump(report, f, indent=2)
 
-    with open(os.path.join(args.out, "student_1eval.pkl"), "wb") as f:
-        pickle.dump(student, f)
     print(json.dumps({k: v for k, v in report.items() if k != "rows"},
                      indent=2), flush=True)
 
