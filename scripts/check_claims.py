@@ -147,6 +147,15 @@ CLAIMS = [
      ["README.md", "BENCH.md"], "quad in-kernel K=16 safe-reach"),
     ("artifacts/planning3d/metrics.json", "fraction_free",
      dict(nd=2), ["README.md", "BENCH.md"], "planning3d fraction_free"),
+    ("artifacts/onpolicy_panda/report.json",
+     "rows.[K=1].ratio_vs_expert", dict(nd=4),
+     ["README.md"], "onpolicy panda 1-eval K=1 vs expert"),
+    ("artifacts/onpolicy_panda/report.json",
+     "rows.[K=1].ratio_vs_teacher", dict(nd=4),
+     ["README.md"], "onpolicy panda 1-eval K=1 vs teacher"),
+    ("artifacts/onpolicy_panda/report.json",
+     "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
+     ["README.md"], "onpolicy panda K=16 sel_h=32 vs expert"),
     ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
      "cumulative_cost_ratio_by_depth.128", dict(nd=1),
      ["README.md"], "panda horizon-decay ratio at depth 128"),
