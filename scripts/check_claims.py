@@ -156,6 +156,15 @@ CLAIMS = [
     ("artifacts/onpolicy_panda/report.json",
      "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
      ["README.md"], "onpolicy panda K=16 sel_h=32 vs expert"),
+    ("artifacts/distilled_quadrotor_deep/bench.json",
+     "xla_k16.safe_reach_fraction", dict(nd=4),
+     ["README.md"], "quad deep 1-eval XLA K=16 safe-reach"),
+    ("artifacts/distilled_quadrotor_deep/bench.json",
+     "xla_k16_hz_pipelined", dict(nd=1, comma=True),
+     ["README.md"], "quad deep 1-eval XLA K=16 Hz"),
+    ("artifacts/distilled_quadrotor_deep/bench.json",
+     "episode_hz_sustained", dict(nd=1, comma=True),
+     ["README.md"], "quad deep 1-eval kernel sustained Hz"),
     ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
      "cumulative_cost_ratio_by_depth.128", dict(nd=1),
      ["README.md"], "panda horizon-decay ratio at depth 128"),
