@@ -346,6 +346,8 @@ def make_fused_cfg_episode(
     n_steps: int = 80,
     w: float = 0.01,
     n_diffusion_steps_without_noise: int = 5,
+    n_candidates: int = 1,
+    selection_cost=None,
     weights_dtype=jnp.float32,
     clip_denoised: bool = True,
     interpret: bool = False,
@@ -355,9 +357,22 @@ def make_fused_cfg_episode(
     (`bench.py` — n_steps replans x (T + tail) denoise steps x 2 CFG U-Net
     passes fused into one doubled batch) with the replan loop in-kernel.
     Same semantics as ``make_closed_loop(..., sample_override=
-    make_fused_cfg_chain(...))`` (tests/test_fused_episode.py)."""
-    b2 = 2  # CFG doubled batch, n_samples = 1
-    ops = build_unet_ops(model, params, b2, weights_dtype)
+    make_fused_cfg_chain(...))`` (tests/test_fused_episode.py).
+
+    ``n_candidates > 1`` runs best-of-K IN-kernel exactly like
+    `make_fused_ddim_episode`: K candidate horizons denoise as 2K groups in
+    the doubled CFG batch (rows = 2*K*H per U-Net pass), each rolls through
+    the plant and the min-cost plan's first control is applied —
+    `control/runtime.py` `horizon_cost` semantics. ``selection_cost``
+    (duck-typed stage/terminal) scores candidates instead of ``cost`` when
+    given; reported ``stage_costs`` stay the task quadratic. This is the
+    serving path for TEACHER-grade policies (e.g. the scene-conditioned
+    student: per-scene selection spheres + scene-feature context both ride
+    the hoisted-capture input list, so ONE compiled kernel serves every
+    scene)."""
+    K = int(n_candidates)
+    assert K >= 1
+    ops = build_unet_ops(model, params, 2 * K, weights_dtype)
     flat, body = list(ops["flat"]), ops["body"]
     films_w, f1_w, time_p = ops["films_w"], ops["final_1x1"], ops["time"]
     horizon, n_res = ops["horizon"], ops["n_res"]
@@ -410,7 +425,31 @@ def make_fused_cfg_episode(
                                  jnp.zeros((dx,), jnp.float32))
                  if state_to_condition is not None else None)
 
-    rows = horizon  # single-sample rows; the CFG batch doubles to 2*rows
+    # candidate scorer: same one-hot-contraction fori_loop as the DDIM
+    # kernel (Mosaic rejects scan-with-xs and value dynamic_slice)
+    if K > 1:
+        sel_cost = cost if selection_cost is None else selection_cost
+
+        def _cand_costs(x0v, u_cand):
+            x0_b = jnp.broadcast_to(x0v, (K, dx))
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (horizon, 1), 0)
+
+            def body_fn(i, carry):
+                xc, acc = carry
+                sel = (iota_h == i).astype(jnp.float32)
+                u = jnp.sum(u_cand * sel[None], axis=1)
+                acc = acc + jax.vmap(sel_cost.stage)(xc, u)
+                return jax.vmap(plant.step)(xc, u), acc
+
+            x_f, acc = jax.lax.fori_loop(
+                0, horizon, body_fn, (x0_b, jnp.zeros((K,), jnp.float32)))
+            return acc + jax.vmap(sel_cost.terminal)(x_f)
+
+        costs_call = _kernel_safe_fn(_cand_costs, flat,
+                                     jnp.zeros((dx,), jnp.float32),
+                                     jnp.zeros((K, horizon, du), jnp.float32))
+
+    rows = K * horizon  # sample rows; the CFG batch doubles to 2*rows
 
     def kernel(x0_ref, noise_ref, tembs_ref, coef_ref, *refs):
         xtr_ref, utr_ref, cost_ref = refs[-3:]
@@ -424,23 +463,26 @@ def make_fused_cfg_episode(
         def replan(step_i, x):
             raw = cond_call(W, x[0])[None] if cond_call is not None else x  # (1, dc)
             ctx = (raw - W(cns_idx)) * W(cnc_idx)  # (1, dc)
-            # CFG doubled conditioning rows: [present ctx; dropped (zeros)]
-            ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)  # (2, dc)
+            # CFG doubled conditioning GROUPS: K candidates with the present
+            # ctx, then K with it dropped (zeros)
+            ctxK = jnp.broadcast_to(ctx, (K, ctx.shape[-1]))
+            ctx2 = jnp.concatenate([ctxK, jnp.zeros_like(ctxK)], axis=0)  # (2K, dc)
 
             def denoise(si, u):
-                # u: (rows, d_state)
-                temb = tembs_ref[si][None, :]
-                parts = [jnp.concatenate([temb, temb], axis=0), ctx2]
+                # u: (rows, d_state) = (K*H, d)
+                temb = jnp.broadcast_to(tembs_ref[si][None, :],
+                                        (2 * K, tembs_ref.shape[-1]))
+                parts = [temb, ctx2]
                 if cfg_indicator:
                     ind = jnp.concatenate(
-                        [jnp.ones((1, 1), jnp.float32), jnp.zeros((1, 1), jnp.float32)],
-                        axis=0)
+                        [jnp.ones((K, 1), jnp.float32),
+                         jnp.zeros((K, 1), jnp.float32)], axis=0)
                     parts.append(ind)
-                mc = mish(jnp.concatenate(parts, axis=-1))  # (2, cond)
+                mc = mish(jnp.concatenate(parts, axis=-1))  # (2K, cond)
                 films = [
                     jnp.dot(mc, W(wi), preferred_element_type=jnp.float32) + W(bi)
                     for wi, bi in film_idx
-                ]  # list of (2, c_r)
+                ]  # list of (2K, c_r)
                 x2 = jnp.concatenate([u, u], axis=0)  # (2*rows, d)
                 y = body(W, films, x2)
                 eps2 = jnp.dot(y.astype(weights_dtype), W(w1_idx),
@@ -461,7 +503,18 @@ def make_fused_cfg_episode(
             u0n = noise_ref[step_i * (n_total + 1) + n_total]  # x_T draw
             u_norm = jax.lax.fori_loop(0, n_total, denoise, u0n)
             u_seq = jnp.clip(u_norm, -1.0, 1.0) * W(unc_idx) + W(uns_idx)
-            u0 = u_seq[0]
+            if K == 1:
+                u0 = u_seq[0]
+            else:
+                u_cand = u_seq.reshape(K, horizon, du)
+                ck = costs_call(W, x[0], u_cand).reshape(1, K)
+                # first-min argmin without lax.argmin (Mosaic-safe 2-D
+                # min/where), matching jnp.argmin's tie rule in runtime.py
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+                best = jnp.min(jnp.where(ck == jnp.min(ck), iota, K))
+                onehot = (iota == best).astype(jnp.float32)  # (1, K)
+                u0 = jnp.dot(onehot, u_cand[:, 0, :],
+                             preferred_element_type=jnp.float32)[0]
             stage = sum(q_diag[i] * x[0, i] * x[0, i] for i in range(dx)) \
                 + sum(r_diag[j] * u0[j] * u0[j] for j in range(du))
             x_next = plant_call(W, x[0], u0)[None]
@@ -479,10 +532,10 @@ def make_fused_cfg_episode(
 
         def draw(k):
             # ddpm_cfg_sample noise layout (fused_denoise.py:162-165):
-            # one normal() of (n_total+1, 1, H, d); [0] is x_T, [1:] injected;
+            # one normal() of (n_total+1, K, H, d); [0] is x_T, [1:] injected;
             # reordered so rows [0:n_total) are the injected draws and row
             # n_total is x_T.
-            nz = jax.random.normal(k, (n_total + 1, 1, horizon, d_state), jnp.float32)
+            nz = jax.random.normal(k, (n_total + 1, K, horizon, d_state), jnp.float32)
             return jnp.concatenate([nz[1:], nz[:1]], axis=0)
 
         noise = jax.vmap(draw)(replan_keys).reshape(

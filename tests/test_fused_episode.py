@@ -243,6 +243,41 @@ def test_episode_best_of_k_matches_runtime():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_cfg_episode_best_of_k_matches_runtime():
+    """CFG episode kernel with in-kernel best-of-K (round 4): K candidates
+    denoise as 2K groups in the doubled CFG batch; selection must replay
+    the runtime's horizon_cost + first-min argmin exactly. Reference is the
+    PURE-XLA runtime path (no sample_override) — same ddpm_cfg_sample noise
+    layout, per-replan key split, and candidate ordering."""
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    n_steps, K = 4, 3
+    w, n_tail = 0.01, 2
+
+    diffusion = GaussianDiffusion(schedule=schedule)
+    loop = make_closed_loop(
+        diffusion, model.apply, in_stats, c_stats, plant, cost,
+        horizon=horizon, n_steps=n_steps, w=w,
+        n_diffusion_steps_without_noise=n_tail, n_candidates=K)
+
+    episode = make_fused_cfg_episode(
+        model, params, schedule, in_stats, c_stats, plant, cost,
+        n_steps=n_steps, w=w, n_diffusion_steps_without_noise=n_tail,
+        n_candidates=K, interpret=True)
+
+    x0 = jnp.array([2.5, 0.0])
+    key = jax.random.PRNGKey(5)
+    ref = loop(params, x0, key)
+    xtr, utr, costs = episode(x0, key)
+
+    # discrete selection: tight tolerances also assert every argmin agrees
+    np.testing.assert_allclose(np.asarray(xtr), np.asarray(ref.x_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(utr), np.asarray(ref.u_track),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.stage_costs),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_episode_selection_cost_decouples_from_stage_cost():
     """Kernel selection_cost != task cost (the quadrotor safety-first
     protocol, scripts/quadrotor_task.py::make_select_cost): tracks must match
