@@ -458,6 +458,13 @@ def make_fused_cfg_episode(
         def W(idx):
             return wrefs[idx][...]
 
+        # K>1 noise is stored TRANSPOSED (d, rows): the natural (rows, d)
+        # layout lane-pads d=4 -> 128, inflating the K=16 60-step input
+        # from 22.8 MB to 731 MB of VMEM; (d, rows) only sublane-pads
+        # d -> 8 and Mosaic lowers the in-kernel 2-D transpose (probed)
+        read_nz = ((lambda i: noise_ref[i].T) if K > 1
+                   else (lambda i: noise_ref[i]))
+
         xtr_ref[0] = x0_ref[0]
 
         def replan(step_i, x):
@@ -497,10 +504,10 @@ def make_fused_cfg_episode(
                 if clip_denoised:
                     recon = jnp.clip(recon, -1.0, 1.0)
                 mean = c1_t * recon + c2_t * u
-                nz = noise_ref[step_i * (n_total + 1) + si]  # (rows, d)
+                nz = read_nz(step_i * (n_total + 1) + si)  # (rows, d)
                 return mean + sg_t * nz
 
-            u0n = noise_ref[step_i * (n_total + 1) + n_total]  # x_T draw
+            u0n = read_nz(step_i * (n_total + 1) + n_total)  # x_T draw
             u_norm = jax.lax.fori_loop(0, n_total, denoise, u0n)
             u_seq = jnp.clip(u_norm, -1.0, 1.0) * W(unc_idx) + W(uns_idx)
             if K == 1:
@@ -540,6 +547,9 @@ def make_fused_cfg_episode(
 
         noise = jax.vmap(draw)(replan_keys).reshape(
             n_steps * (n_total + 1), rows, d_state)
+        if K > 1:
+            # transposed storage (see read_nz in the kernel)
+            noise = jnp.swapaxes(noise, 1, 2)
 
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         xtr, utr, costs = pl.pallas_call(
