@@ -165,6 +165,11 @@ CLAIMS = [
     ("artifacts/distilled_quadrotor_deep/bench.json",
      "episode_hz_sustained", dict(nd=1, comma=True),
      ["README.md"], "quad deep 1-eval kernel sustained Hz"),
+    ("artifacts/scene_conditioned/bench.json", "k16_hz_pipelined",
+     dict(nd=1, comma=True), ["BENCH.md"], "scene serving K=16 Hz"),
+    ("artifacts/scene_conditioned/bench.json",
+     "k16.collision_free_fraction", dict(nd=1),
+     ["BENCH.md"], "scene serving K=16 CF"),
     ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
      "cumulative_cost_ratio_by_depth.128", dict(nd=1),
      ["README.md"], "panda horizon-decay ratio at depth 128"),
