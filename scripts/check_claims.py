@@ -166,7 +166,17 @@ CLAIMS = [
      "episode_hz_sustained", dict(nd=1, comma=True),
      ["README.md"], "quad deep 1-eval kernel sustained Hz"),
     ("artifacts/scene_conditioned/bench.json", "k16_hz_pipelined",
-     dict(nd=1, comma=True), ["BENCH.md"], "scene serving K=16 Hz"),
+     dict(nd=1, comma=True), ["BENCH.md", "README.md"],
+     "scene serving K=16 Hz"),
+    ("artifacts/onpolicy_quadrotor/report.json",
+     "rows.[student=onpolicy,K=1].safe_reach_fraction", dict(nd=3),
+     ["README.md"], "quad self-distilled K=1 safe-reach"),
+    ("artifacts/onpolicy_quadrotor/report.json",
+     "rows.[student=onpolicy,K=1].collision_free_fraction", dict(nd=4),
+     ["README.md"], "quad self-distilled K=1 CF"),
+    ("artifacts/onpolicy_quadrotor/report.json",
+     "rows.[student=onpolicy,K=16].safe_reach_fraction", dict(nd=4),
+     ["README.md"], "quad self-distilled K=16 safe-reach"),
     ("artifacts/scene_conditioned/bench.json",
      "k16.collision_free_fraction", dict(nd=1),
      ["BENCH.md"], "scene serving K=16 CF"),
