@@ -53,6 +53,12 @@ def main():
     p.add_argument("--collect-starts", type=int, default=8,
                    help="starts per collection scene")
     p.add_argument("--label-k", type=int, default=16)
+    p.add_argument("--label-margin", type=float, default=0.0,
+                   help="clearance margin in the label curation score: "
+                        "plans entering the margin shell are penalized like "
+                        "the deployment selector's margin-inflated spheres "
+                        "(make_select_cost margin=0.15), not just actual "
+                        "penetration — 0.0 reproduces the v1/v2 runs")
     p.add_argument("--train-steps", type=int, default=4000)
     p.add_argument("--iterations", type=int, default=2)
     p.add_argument("--chunk", type=int, default=250)
@@ -169,7 +175,8 @@ def main():
                     u = unnormalize(in_stats, jnp.clip(u_n, -1.0, 1.0))
                     xs, c = rollout_with_cost(plant, quad_cost, x0, u)
                     clear = min_clearance_jax(xs, centers=cen, radii=rad)
-                    return c + 1e5 * jnp.maximum(-clear, 0.0)
+                    pen = jnp.maximum(args.label_margin - clear, 0.0)
+                    return c + 1e5 * pen + 1e5 * pen * pen
 
                 return plans[jnp.argmin(jax.vmap(score)(plans))]
 
