@@ -177,6 +177,12 @@ CLAIMS = [
     ("artifacts/onpolicy_quadrotor/report.json",
      "rows.[student=onpolicy,K=16].safe_reach_fraction", dict(nd=4),
      ["README.md"], "quad self-distilled K=16 safe-reach"),
+    ("artifacts/onpolicy_scene/report.json",
+     "rows.[student=onpolicy,K=16].safe_reach_fraction", dict(nd=4),
+     ["README.md"], "scene self-distilled K=16 safe-reach"),
+    ("artifacts/onpolicy_scene/report.json",
+     "rows.[student=onpolicy,K=1].collision_free_fraction", dict(nd=4),
+     ["README.md"], "scene self-distilled K=1 CF"),
     ("artifacts/scene_conditioned/bench.json",
      "k16.collision_free_fraction", dict(nd=1),
      ["BENCH.md"], "scene serving K=16 CF"),
