@@ -83,7 +83,10 @@ def main():
 
     plant, quad_cost = get_plant("quadrotor")
     report = json.load(open(os.path.join(args.student_dir, "report.json")))
-    times = report["rounds"][-1]["times"]
+    # distill reports carry a rounds ladder; onpolicy fine-tune reports a
+    # flat times key (scripts/onpolicy_quadrotor.py)
+    times = (report["rounds"][-1]["times"] if "rounds" in report
+             else report["times"])
     with open(os.path.join(args.student_dir,
                            f"student_{len(times)}eval.pkl"), "rb") as f:
         student = pickle.load(f)
