@@ -183,6 +183,12 @@ CLAIMS = [
     ("artifacts/onpolicy_scene/report.json",
      "rows.[student=onpolicy,K=1].collision_free_fraction", dict(nd=4),
      ["README.md"], "scene self-distilled K=1 CF"),
+    ("artifacts/onpolicy_quadrotor/bench.json", "episode_hz_sustained",
+     dict(nd=1, comma=True), ["README.md"],
+     "self-distilled quad K=1 kernel sustained Hz"),
+    ("artifacts/onpolicy_quadrotor/bench.json",
+     "xla_k16.safe_reach_fraction", dict(nd=1), ["README.md"],
+     "self-distilled quad XLA K=16 safe-reach"),
     ("artifacts/scene_conditioned/bench.json",
      "k16.collision_free_fraction", dict(nd=1),
      ["BENCH.md"], "scene serving K=16 CF"),
