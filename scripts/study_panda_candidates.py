@@ -179,13 +179,28 @@ def main():
                 n_candidates=K, sample_override=chain,
                 state_to_condition=to_cond,
                 selection_horizon=(bench_sel_h or None) if K > 1 else None))
+            # the K=16 H=128 chain kernel needs ~62.5M of scoped VMEM stack;
+            # the 16M default is a compiler safety cap, not hardware (v5e
+            # VMEM is 128M) — raise it per-compile for the big K. Keep each
+            # K crash-proof so one failed compile doesn't lose the others.
+            try:
+                opts = ({"xla_tpu_scoped_vmem_limit_kib": 98304}
+                        if K >= 8 else None)
+                call = loop.lower(params, x0, eval_keys[0]).compile(
+                    compiler_options=opts)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                report[f"fused_chain_k{K}"] = {"error": str(e)[:400]}
+                print(f"[bench] K={K} compile failed: {str(e)[:200]}",
+                      flush=True)
+                continue
             # sequential seeds, NOT eval_10seed's vmap: vmapping 10 programs
             # over the K=16 H=128 fused pallas chain exceeds the 16M scoped
             # VMEM stack at compile (measured: 37.5M, round 4)
-            run1 = jax.jit(lambda k: loop(params, x0, k).stage_costs.sum())
-            costs = np.asarray([float(run1(k)) for k in eval_keys])
+            costs = np.asarray([
+                float(call(params, x0, k).stage_costs.sum())
+                for k in eval_keys])
             dt = pipelined_time_fn(
-                lambda kk: loop(params, x0, kk).x_track,
+                lambda kk: call(params, x0, kk).x_track,
                 [(jax.random.fold_in(key, i),) for i in range(8)])
             row = {
                 "metric": f"panda_1eval_fused_chain_k{K}_hz",
