@@ -62,6 +62,9 @@ def main():
                         "the unrolled rank<=1 hinge lowers at K=4 and K=16 "
                         "(bisected via AOT probes). Kept opt-in so the "
                         "always-compiling XLA rows land first.")
+    p.add_argument("--fleet", type=int, default=0,
+                   help="if >1, also measure the aggregate control-steps/s "
+                        "of a vmapped fleet of K=1 episode kernels")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -106,7 +109,15 @@ def main():
 
     collision_metrics = track_metrics  # shared flagship metric definitions
 
-    out = {"times": [int(t) for t in times], "n_steps": args.steps}
+    # MERGE into an existing bench.json: a partial rerun (e.g. --fleet only)
+    # must not clobber rows a fuller run measured (--candidates/--in-kernel)
+    # — check_claims pins doc numbers to these keys
+    bench_path = os.path.join(args.student_dir, "bench.json")
+    out = {}
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            out = json.load(f)
+    out.update({"times": [int(t) for t in times], "n_steps": args.steps})
 
     # ---- XLA path (the distill eval protocol) ----
     sampler = make_student_ddim_sampler(schedule, model.apply, times)
@@ -161,6 +172,29 @@ def main():
         sus.append(time.perf_counter() - t0)
     out["rate_steps"] = args.rate_steps
     out["episode_hz_sustained"] = round(args.rate_steps / min(sus), 1)
+
+    # serving fleet: N independent K=1 episode kernels vmapped (the Pallas
+    # kernel lifts to a grid axis under vmap) — aggregate control-steps/s
+    # one chip serves when many quadrotor loops run concurrently
+    if args.fleet > 1:
+        fleet = jax.jit(jax.vmap(episode))
+        x0f = jnp.asarray(np.tile(np.asarray(ev_j),
+                                  (-(-args.fleet // len(ev_j)), 1))[:args.fleet])
+        kf = jax.random.split(jax.random.PRNGKey(17), args.fleet)
+        jax.block_until_ready(fleet(x0f, kf)[0])
+        reps = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                fleet(x0f, jax.random.split(jax.random.PRNGKey(r),
+                                            args.fleet))[0])
+            reps.append(time.perf_counter() - t0)
+        out[f"fleet{args.fleet}_steps_per_sec"] = round(
+            args.fleet * args.steps / min(reps), 0)
+        print(json.dumps({
+            "metric": f"quadrotor_fleet{args.fleet}_control_steps_per_sec",
+            "value": out[f"fleet{args.fleet}_steps_per_sec"],
+            "unit": "steps/s"}), flush=True)
 
     print(json.dumps({"metric": "quadrotor_student_fused_episode_hz",
                       "value": out["episode_hz_pipelined"], "unit": "Hz",
