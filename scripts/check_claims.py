@@ -189,6 +189,12 @@ CLAIMS = [
     ("artifacts/onpolicy_quadrotor/bench.json",
      "xla_k16.safe_reach_fraction", dict(nd=1), ["README.md"],
      "self-distilled quad XLA K=16 safe-reach"),
+    ("artifacts/onpolicy_cartpole/report.json",
+     "rows.[student=onpolicy,K=1,n_seeds=50].ratio_mean", dict(nd=5),
+     ["README.md"], "cart-pole self-distilled K=1 wide ratio"),
+    ("artifacts/onpolicy_cartpole/report.json",
+     "rows.[student=onpolicy,K=1,n_seeds=50].ratio_max", dict(nd=5),
+     ["README.md"], "cart-pole self-distilled K=1 worst seed"),
     ("artifacts/scene_conditioned/bench.json",
      "k16.collision_free_fraction", dict(nd=1),
      ["BENCH.md"], "scene serving K=16 CF"),
