@@ -117,7 +117,8 @@ def main():
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             out = json.load(f)
-    out.update({"times": [int(t) for t in times], "n_steps": args.steps})
+    out.update({"times": [int(t) for t in times], "n_steps": args.steps,
+                "eval_starts": args.eval_starts})
 
     # ---- XLA path (the distill eval protocol) ----
     sampler = make_student_ddim_sampler(schedule, model.apply, times)

@@ -201,6 +201,19 @@ CLAIMS = [
     ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
      "cumulative_cost_ratio_by_depth.128", dict(nd=1),
      ["README.md"], "panda horizon-decay ratio at depth 128"),
+    # --- round 5: scene-conditioned Panda arm (artifacts/scene_panda) ---
+    ("artifacts/scene_panda/report.json",
+     "rows.[arm=blind].fraction_free", dict(nd=3),
+     ["BENCH.md", "README.md"], "scene-panda blind fraction_free"),
+    ("artifacts/scene_panda/report.json",
+     "rows.[arm=blind+guide].fraction_free", dict(nd=3),
+     ["BENCH.md", "README.md"], "scene-panda guided-oracle fraction_free"),
+    ("artifacts/scene_panda/report.json",
+     "rows.[arm=cond].fraction_free", dict(nd=3),
+     ["BENCH.md", "README.md"], "scene-panda conditioned fraction_free"),
+    ("artifacts/scene_panda/report.json",
+     "rows.[arm=cond+guide].fraction_free", dict(nd=3),
+     ["BENCH.md", "README.md"], "scene-panda cond+guide fraction_free"),
 ]
 
 

@@ -146,7 +146,12 @@ def main():
     for s in range(args.train_scenes):
         trajs, valid = jax.device_get(
             gen_scene(jnp.asarray(worlds[s]), jax.random.PRNGKey(100 + s)))
-        kept = trajs[valid]
+        # ADVICE r4: the via bumps / collision gradients can push waypoints
+        # past the joint limits; clamp BEFORE 'limits' normalization so no
+        # normalized target leaves [-1, 1] (clip_denoised would silently
+        # clip it at sampling and unnormalize would saturate at eval)
+        kept = np.clip(trajs[valid], np.asarray(PANDA_Q_MIN),
+                       np.asarray(PANDA_Q_MAX))
         pool_t.append(kept)
         pool_f.append(np.tile(worlds[s].reshape(-1), (len(kept), 1)))
         if s == 0:
@@ -260,12 +265,26 @@ def main():
                   "cond": cond_params, "cond+guide": cond_params}
 
     # eval tasks come from the GPMP generator run on the HELD-OUT worlds, so
-    # every task carries a feasibility certificate (>= 1 valid GPMP solve)
+    # every task carries a feasibility certificate (>= 1 valid GPMP solve).
+    # ADVICE r4: the generator's valid flag checks clearance only at the H
+    # waypoints while the eval arms use a 128-point dense interpolation —
+    # re-certify with the SAME dense check so a "feasible" task really has a
+    # collision-free solution under the eval metric.
+    @jax.jit
+    def dense_free(spheres, trajs):
+        env = make_env(spheres)
+        dense = interpolate_points(trajs, 128)
+        coll = jnp.logical_or(env.in_collision(dense),
+                              jnp.any(jnp.isnan(dense), axis=-1))
+        return ~jnp.any(coll, axis=-1)
+
     ev_worlds = sample_worlds(args.eval_scenes, seed=99)
     ev_tasks = []
     for e in range(args.eval_scenes):
         trajs, valid = jax.device_get(
             gen_scene(jnp.asarray(ev_worlds[e]), jax.random.PRNGKey(900 + e)))
+        valid = valid & jax.device_get(
+            dense_free(jnp.asarray(ev_worlds[e]), jnp.asarray(trajs)))
         tpt = args.trajs_per_task
         starts, goals, n_solved = [], [], 0
         for t in range(args.tasks_per_scene):
@@ -287,6 +306,11 @@ def main():
         ev_tasks.append((e, np.stack(starts), np.stack(goals), n_real))
         print(f"[eval-tasks] world {e}: {n_solved} GPMP-feasible tasks",
               flush=True)
+    if not ev_tasks:
+        # ADVICE r4: np.mean([]) would write NaN into report.json
+        raise SystemExit(
+            "[eval-tasks] no dense-certified GPMP-feasible task in any "
+            "held-out world — widen the world bounds or raise --gpmp-steps")
 
     report = {
         "protocol": f"{args.eval_scenes} held-out worlds (seed 99) x "
