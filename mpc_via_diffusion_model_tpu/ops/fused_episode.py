@@ -62,6 +62,40 @@ from .fused_unet import (append_film_weights, append_final_1x1,
 __all__ = ["make_fused_ddim_episode", "make_fused_cfg_episode"]
 
 
+def _bits_to_normal(b1, b2):
+    """Box-Muller N(0,1) from two independent uint32 bit arrays — the pure
+    math behind the in-kernel noise path, split out so its distribution is
+    unit-testable on CPU with host-generated bits (the `pltpu.prng_*`
+    primitives have no CPU lowering). Uses the top 24 bits of each word as
+    the uniform mantissa: u1 in (0, 1] (log-safe), u2 in [0, 1)."""
+    inv24 = np.float32(1.0 / 16777216.0)
+    # >>8 keeps values < 2^24, so the int32 view is non-negative and the
+    # int->float convert is exact
+    i1 = jax.lax.shift_right_logical(b1, np.uint32(8)).astype(jnp.int32)
+    i2 = jax.lax.shift_right_logical(b2, np.uint32(8)).astype(jnp.int32)
+    u1 = (i1.astype(jnp.float32) + 1.0) * inv24
+    u2 = i2.astype(jnp.float32) * inv24
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(np.float32(2.0 * np.pi) * u2)
+
+
+def _kernel_gauss(shape):
+    """Draw N(0,1) of ``shape`` from the per-core hardware PRNG (must be
+    seeded once per kernel via `pltpu.prng_seed`). Each call consumes fresh
+    bits, so successive draws are independent; draw order is the kernel's
+    program order."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return _bits_to_normal(b1, b2)
+
+
+def _key_to_seeds(key: jax.Array) -> jnp.ndarray:
+    """(2,) int32 seed words for `pltpu.prng_seed` from a jax PRNG key —
+    the full key data, so distinct keys give distinct in-kernel streams."""
+    data = jax.random.key_data(key).reshape(-1)
+    return jax.lax.bitcast_convert_type(data, jnp.int32)
+
+
 def _affine_consts(stats: NormalizerStats, dim: int):
     """(shift, scale) so that normalize(x) = (x - shift) * scale; and the
     inverse pair for unnormalize. Supports 'limits' and 'identity'."""
@@ -121,12 +155,23 @@ def make_fused_ddim_episode(
     clip_denoised: bool = True,
     interpret: bool = False,
     state_to_condition: Optional[Callable] = None,
+    inkernel_noise: bool = False,
 ) -> Callable:
     """Build ``episode(x0, key) -> (x_track, u_track, stage_costs)`` — the
     full distilled-student closed loop (conditional DDIM chain, guidance
     baked in) as one kernel. Matches
     ``make_closed_loop(..., sample_override=make_fused_ddim_chain(...))``
     step for step (same per-replan key split, same clip/normalize semantics).
+
+    ``inkernel_noise=True`` draws the per-replan init noise INSIDE the
+    kernel from the TPU hardware PRNG (seeded from ``key``'s data) instead
+    of staging a pre-drawn (n_steps, K*H, d) array: the staged layout
+    lane-pads d -> 128 in VMEM (225 MB at K=16/600 steps — cannot compile),
+    so this is what makes LONG best-of-K episodes single-dispatch. The
+    draws are Box-Muller from hardware bits, NOT bit-equal to
+    `jax.random.normal`, so the episode is distributionally (not bitwise)
+    comparable to the XLA loop; requires real TPU (no CPU/interpret
+    lowering).
 
     ``n_candidates > 1`` runs best-of-K IN-kernel: K candidate horizons
     denoise as one batched U-Net body (rows = K*H), each rolls open-loop
@@ -247,6 +292,11 @@ def make_fused_ddim_episode(
         def W(idx):
             return wrefs[idx][...]
 
+        if inkernel_noise:
+            # noise_ref is the (2,) SMEM seed; one seed per episode, draws
+            # consumed in replan order
+            pltpu.prng_seed(noise_ref[0], noise_ref[1])
+
         xtr_ref[0] = x0_ref[0]
 
         def replan(step_i, x):
@@ -281,7 +331,8 @@ def make_fused_ddim_episode(
                     recon = jnp.clip(recon, -1.0, 1.0)
                 return c1_t * recon + c2_t * u
 
-            u0n = noise_ref[step_i]  # (rows, d_state) pre-drawn init noise
+            u0n = (_kernel_gauss((rows, d_state)) if inkernel_noise
+                   else noise_ref[step_i])  # (rows, d_state) init noise
             u_norm = jax.lax.fori_loop(0, n_total, denoise, u0n)
             # limits unnormalize: clip to [-1, 1] then affine (the reference's
             # saturate-at-dataset-limits semantics)
@@ -311,15 +362,20 @@ def make_fused_ddim_episode(
     def episode(x0: jnp.ndarray, key: jax.Array):
         """x0: (dx,) initial plant state. Returns (x_track (n_steps+1, dx),
         u_track (n_steps, du), stage_costs (n_steps,))."""
-        replan_keys = jax.random.split(key, n_steps)  # runtime.py:188 semantics
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, (K, horizon, d_state), jnp.float32)
-        )(replan_keys).reshape(n_steps, rows, d_state)
+        if inkernel_noise:
+            noise = _key_to_seeds(key)  # (2,) int32 -> SMEM
+        else:
+            replan_keys = jax.random.split(key, n_steps)  # runtime.py:188
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (K, horizon, d_state), jnp.float32)
+            )(replan_keys).reshape(n_steps, rows, d_state)
 
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        noise_spec = (pl.BlockSpec(memory_space=pltpu.SMEM)
+                      if inkernel_noise else full())
         xtr, utr, costs = pl.pallas_call(
             kernel,
-            in_specs=[full(), full(), full(),
+            in_specs=[full(), noise_spec, full(),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
                      + [full()] * len(flat),
             out_specs=(full(), full(), full()),
@@ -352,6 +408,7 @@ def make_fused_cfg_episode(
     clip_denoised: bool = True,
     interpret: bool = False,
     state_to_condition: Optional[Callable] = None,
+    inkernel_noise: bool = False,
 ) -> Callable:
     """The HEADLINE protocol as one kernel: the full CFG DDPM closed loop
     (`bench.py` — n_steps replans x (T + tail) denoise steps x 2 CFG U-Net
@@ -369,7 +426,15 @@ def make_fused_cfg_episode(
     serving path for TEACHER-grade policies (e.g. the scene-conditioned
     student: per-scene selection spheres + scene-feature context both ride
     the hoisted-capture input list, so ONE compiled kernel serves every
-    scene)."""
+    scene).
+
+    ``inkernel_noise=True``: all injected + init noise is drawn in-kernel
+    from the TPU hardware PRNG instead of the staged
+    (n_steps*(T+tail+1), ...) array — see `make_fused_ddim_episode`; this
+    is what lets a LONG (e.g. 600-step) K=16 CFG episode compile as ONE
+    dispatch (the staged array is 731 MB of VMEM even transposed at that
+    length). Distributionally, not bitwise, equal to the staged path;
+    requires real TPU."""
     K = int(n_candidates)
     assert K >= 1
     ops = build_unet_ops(model, params, 2 * K, weights_dtype)
@@ -461,9 +526,16 @@ def make_fused_cfg_episode(
         # K>1 noise is stored TRANSPOSED (d, rows): the natural (rows, d)
         # layout lane-pads d=4 -> 128, inflating the K=16 60-step input
         # from 22.8 MB to 731 MB of VMEM; (d, rows) only sublane-pads
-        # d -> 8 and Mosaic lowers the in-kernel 2-D transpose (probed)
-        read_nz = ((lambda i: noise_ref[i].T) if K > 1
-                   else (lambda i: noise_ref[i]))
+        # d -> 8 and Mosaic lowers the in-kernel 2-D transpose (probed).
+        # inkernel_noise sidesteps the staging entirely: fresh hardware
+        # draws per use, zero VMEM input at ANY episode length.
+        if inkernel_noise:
+            pltpu.prng_seed(noise_ref[0], noise_ref[1])
+            read_nz = lambda i: _kernel_gauss((rows, d_state))
+        elif K > 1:
+            read_nz = lambda i: noise_ref[i].T
+        else:
+            read_nz = lambda i: noise_ref[i]
 
         xtr_ref[0] = x0_ref[0]
 
@@ -535,26 +607,32 @@ def make_fused_cfg_episode(
     def episode(x0: jnp.ndarray, key: jax.Array):
         """x0: (dx,). Returns (x_track, u_track, stage_costs) for the full
         CFG DDPM closed loop."""
-        replan_keys = jax.random.split(key, n_steps)
+        if inkernel_noise:
+            noise = _key_to_seeds(key)  # (2,) int32 -> SMEM
+        else:
+            replan_keys = jax.random.split(key, n_steps)
 
-        def draw(k):
-            # ddpm_cfg_sample noise layout (fused_denoise.py:162-165):
-            # one normal() of (n_total+1, K, H, d); [0] is x_T, [1:] injected;
-            # reordered so rows [0:n_total) are the injected draws and row
-            # n_total is x_T.
-            nz = jax.random.normal(k, (n_total + 1, K, horizon, d_state), jnp.float32)
-            return jnp.concatenate([nz[1:], nz[:1]], axis=0)
+            def draw(k):
+                # ddpm_cfg_sample noise layout (fused_denoise.py:162-165):
+                # one normal() of (n_total+1, K, H, d); [0] is x_T, [1:]
+                # injected; reordered so rows [0:n_total) are the injected
+                # draws and row n_total is x_T.
+                nz = jax.random.normal(
+                    k, (n_total + 1, K, horizon, d_state), jnp.float32)
+                return jnp.concatenate([nz[1:], nz[:1]], axis=0)
 
-        noise = jax.vmap(draw)(replan_keys).reshape(
-            n_steps * (n_total + 1), rows, d_state)
-        if K > 1:
-            # transposed storage (see read_nz in the kernel)
-            noise = jnp.swapaxes(noise, 1, 2)
+            noise = jax.vmap(draw)(replan_keys).reshape(
+                n_steps * (n_total + 1), rows, d_state)
+            if K > 1:
+                # transposed storage (see read_nz in the kernel)
+                noise = jnp.swapaxes(noise, 1, 2)
 
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        noise_spec = (pl.BlockSpec(memory_space=pltpu.SMEM)
+                      if inkernel_noise else full())
         xtr, utr, costs = pl.pallas_call(
             kernel,
-            in_specs=[full(), full(), full(),
+            in_specs=[full(), noise_spec, full(),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
                      + [full()] * len(flat),
             out_specs=(full(), full(), full()),

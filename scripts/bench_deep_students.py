@@ -86,7 +86,18 @@ def main():
             k: v for k, v in row.items() if k not in ("metric", "value", "unit")}
         print(json.dumps(row), flush=True)
 
-    for rec in report["rounds"]:
+    # distill artifacts carry a rounds ladder; onpolicy fine-tune artifacts
+    # (scripts/onpolicy_cartpole.py) a flat times key + study-style rows
+    if "rounds" in report:
+        rounds = report["rounds"]
+    else:
+        k1 = [r for r in report["rows"]
+              if r["student"] == "onpolicy" and r["K"] == 1]
+        k1.sort(key=lambda r: -r.get("n_seeds", 0))
+        rounds = [{"times": report["times"],
+                   "cost_ratio_vs_expert": k1[0]["ratio_mean"]}]
+
+    for rec in rounds:
         times = rec["times"]
         pkl = os.path.join(args.art, f"student_{len(times)}eval.pkl")
         with open(pkl, "rb") as f:

@@ -37,6 +37,12 @@ def main():
     p.add_argument("--reuse", action="store_true",
                    help="load dataset.npz + checkpoints/final.ckpt from --out "
                         "instead of re-collecting/re-training (eval iteration)")
+    p.add_argument("--collect-only", action="store_true",
+                   help="regenerate just dataset.npz (seeded, bit-compatible) "
+                        "and stop before training — container recreations "
+                        "wipe gitignored datasets; this restores them without "
+                        "touching the committed report/plots (the "
+                        "flagship_quadrotor/flagship_modality pattern)")
     args = p.parse_args()
 
     import jax
@@ -174,6 +180,13 @@ def main():
         ds.save(ds_path)
 
     tracer.end()
+    if args.collect_only:
+        # dump to a side file so the atexit handler no-ops and the
+        # COMMITTED full-run trace.json in --out is not clobbered
+        tracer.dump(os.path.join(args.out, "trace_collect_only.json"))
+        print(f"[collect-only] dataset saved to {ds_path}; stopping before "
+              "training", flush=True)
+        return
     # ---------------- 2) train (scanned chunks) ----------------
     tracer.begin("train")
     model = TemporalUnet(

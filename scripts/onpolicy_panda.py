@@ -63,6 +63,22 @@ def main():
     p.add_argument("--onpolicy-frac", type=float, default=0.5)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-seeds", type=int, default=10)
+    p.add_argument("--init-student", default=None,
+                   help="start from this pkl instead of the distilled "
+                        "ladder's 1-eval student — chains more DAgger "
+                        "iterations on top of a committed run (VERDICT r4 "
+                        "#3)")
+    p.add_argument("--iter-offset", type=int, default=0,
+                   help="offset for per-iteration seeds so a chained run "
+                        "collects fresh starts/keys (set to the prior "
+                        "run's --iterations)")
+    p.add_argument("--collect-K", type=int, default=1,
+                   help="collect visited states under best-of-K with "
+                        "--collect-sel-h truncated selection (the "
+                        "DEPLOYMENT policy) instead of the raw K=1 student "
+                        "— aligns the labeled distribution with the states "
+                        "the deployed selector actually visits")
+    p.add_argument("--collect-sel-h", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -100,7 +116,9 @@ def main():
 
     sreport = json.load(open(os.path.join(args.student_dir, "report.json")))
     times = [r for r in sreport["rounds"] if r["n_evals"] == 1][0]["times"]
-    with open(os.path.join(args.student_dir, "student_1eval.pkl"), "rb") as f:
+    init_path = (args.init_student if args.init_student else
+                 os.path.join(args.student_dir, "student_1eval.pkl"))
+    with open(init_path, "rb") as f:
         student0 = pickle.load(f)
 
     H = args.horizon
@@ -174,13 +192,15 @@ def main():
     for it in range(args.iterations):
         # 1. collect on-policy states under the CURRENT student
         t0 = time.time()
-        key_x0 = jax.random.PRNGKey(123 + it)
+        gi = it + args.iter_offset  # global iteration index (chained runs)
+        key_x0 = jax.random.PRNGKey(123 + gi)
         jit_x0 = x0_eval[None] + jnp.concatenate([
             jax.random.uniform(key_x0, (args.collect_starts, 7),
                                minval=-args.jitter, maxval=args.jitter),
             jnp.zeros((args.collect_starts, 7))], axis=-1)
-        loop_k1 = make_loop(cur, 1)
-        ks = jax.random.split(jax.random.PRNGKey(11 + it), args.collect_starts)
+        loop_k1 = (make_loop(cur, args.collect_K, args.collect_sel_h)
+                   if args.collect_K > 1 else make_loop(cur, 1))
+        ks = jax.random.split(jax.random.PRNGKey(11 + gi), args.collect_starts)
         runs = jax.jit(jax.vmap(lambda x0v, k: loop_k1(cur, x0v, k)))(
             jit_x0, ks)
         visited = np.asarray(runs.x_track[:, :-1]).reshape(-1, 14)
@@ -217,7 +237,7 @@ def main():
             params=cur,
             ema_params=jax.tree_util.tree_map(jnp.copy, cur),
             opt_state=optimizer.init(cur), step=jnp.int32(0))
-        key = jax.random.PRNGKey(77 + it)
+        key = jax.random.PRNGKey(77 + gi)
         n_chunks = args.train_steps // args.chunk
         n_onp = int(round(args.onpolicy_frac * n_chunks))
         onp_slots = (set(np.round(
@@ -250,6 +270,10 @@ def main():
     # ---- 4. eval: K=1 and the selection operating points ----
     report = {
         "expert_closed_loop_cost": expert_cost,
+        "init_student": init_path,
+        "iter_offset": args.iter_offset,
+        "collect_K": args.collect_K,
+        "collect_sel_h": args.collect_sel_h if args.collect_K > 1 else None,
         "teacher_closed_loop_cost_mean10": teacher_cost,
         "times": times,
         "protocol": "x0=0.3rad, 80 steps, 10 seeds PRNGKey(7)",

@@ -68,6 +68,15 @@ def main():
     p.add_argument("--w", type=float, default=0.01)
     p.add_argument("--eval-scenes", type=int, default=8)
     p.add_argument("--eval-starts", type=int, default=16)
+    p.add_argument("--init-student", default=None,
+                   help="start the fine-tune from this pkl instead of the "
+                        "scene_conditioned student — chains a scaled run on "
+                        "top of a committed one (VERDICT r4 #4); the "
+                        "report's 'before' rows then eval THIS init")
+    p.add_argument("--iter-offset", type=int, default=0,
+                   help="offset for all per-iteration seeds so a chained "
+                        "run collects FRESH scenes/starts/keys (set to the "
+                        "prior run's --iterations)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -109,7 +118,9 @@ def main():
     mix = np.load(os.path.join(args.scene_dir, "scene_dataset.npz"))
     mix_u = jnp.asarray(mix["inputs_normalized"])
     mix_c = jnp.asarray(mix["condition_normalized"])
-    with open(os.path.join(args.scene_dir, "scene_student_ema.pkl"), "rb") as f:
+    init_path = (args.init_student if args.init_student
+                 else os.path.join(args.scene_dir, "scene_student_ema.pkl"))
+    with open(init_path, "rb") as f:
         student0 = pickle.load(f)
 
     H = args.horizon
@@ -145,11 +156,17 @@ def main():
     pk = jax.random.split(jax.random.PRNGKey(31), E * S)
 
     def eval_student(params, K):
-        runs = make_scene_runner(params, K)(pc, pr, px, pk)
-        m = track_metrics(np.asarray(runs.x_track), centers=np.asarray(pc),
+        runner = make_scene_runner(params, K)
+        tracks = np.concatenate([
+            np.asarray(runner(pc[e * S:(e + 1) * S], pr[e * S:(e + 1) * S],
+                              px[e * S:(e + 1) * S], pk[e * S:(e + 1) * S])
+                       .x_track)
+            for e in range(E)])  # per-scene dispatches: 64-start evals stay
+        # within the one-dispatch budget (CLAUDE.md quirk 6)
+        m = track_metrics(tracks, centers=np.asarray(pc),
                           radii=np.asarray(pr))
         per_scene = [
-            track_metrics(np.asarray(runs.x_track)[e * S:(e + 1) * S],
+            track_metrics(tracks[e * S:(e + 1) * S],
                           centers=np.asarray(ev_c[e]),
                           radii=np.asarray(ev_r[e]))["collision_free_fraction"]
             for e in range(E)]
@@ -196,6 +213,9 @@ def main():
         "protocol": f"{E} held-out scenes (seed 99) x {S} starts x "
                     f"{args.steps} steps, PRNGKey(31) — the committed "
                     f"scene_conditioned eval",
+        "init_student": init_path,
+        "iter_offset": args.iter_offset,
+        "label_margin": args.label_margin,
         "label_k": args.label_k, "w": args.w,
         "collect": {"scenes_per_iter": args.collect_scenes,
                     "starts_per_scene": args.collect_starts,
@@ -211,16 +231,22 @@ def main():
     for it in range(args.iterations):
         t0 = time.time()
         M, S2 = args.collect_scenes, args.collect_starts
-        cc, cr = sample_scenes(M, seed=500 + it)
+        gi = it + args.iter_offset  # global iteration index for chained runs
+        cc, cr = sample_scenes(M, seed=500 + gi)
         col_c = jnp.repeat(jnp.asarray(cc), S2, axis=0)   # (M*S2, 3, 3)
         col_r = jnp.repeat(jnp.asarray(cr), S2, axis=0)
         col_x = jnp.tile(jnp.asarray(
-            eval_start_states(S2, seed=60 + it)), (M, 1))
-        col_k = jax.random.split(jax.random.PRNGKey(300 + it), M * S2)
+            eval_start_states(S2, seed=60 + gi)), (M, 1))
+        col_k = jax.random.split(jax.random.PRNGKey(300 + gi), M * S2)
         print(f"[it {it}] collecting ({M} scenes x {S2} starts, "
               f"K={args.label_k} loop compile)...", flush=True)
-        runs = make_scene_runner(cur, args.label_k)(col_c, col_r, col_x, col_k)
-        visited = np.asarray(runs.x_track[:, :-1])         # (M*S2, T, 12)
+        runner = make_scene_runner(cur, args.label_k)
+        CHC = 256
+        vis_l = [np.asarray(runner(col_c[i:i + CHC], col_r[i:i + CHC],
+                                   col_x[i:i + CHC], col_k[i:i + CHC])
+                            .x_track[:, :-1])
+                 for i in range(0, col_c.shape[0], CHC)]
+        visited = np.concatenate(vis_l)                    # (M*S2, T, 12)
         T = visited.shape[1]
         vx = jnp.asarray(visited.reshape(-1, 12))
         vc = jnp.repeat(col_c, T, axis=0)
@@ -232,7 +258,7 @@ def main():
         print(f"[it {it}] labeling (best-of-{args.label_k} CFG sampler "
               f"compile)...", flush=True)
         labeler = make_labeler(cur)
-        base_key = jax.random.PRNGKey(400 + it)
+        base_key = jax.random.PRNGKey(400 + gi)
         CH = 256
         lab = []
         for i in range(0, vx.shape[0], CH):
@@ -256,7 +282,7 @@ def main():
         state = TrainState(
             params=cur, ema_params=jax.tree_util.tree_map(jnp.copy, cur),
             opt_state=ft_opt.init(cur), step=jnp.int32(0))
-        key = jax.random.PRNGKey(77 + it)
+        key = jax.random.PRNGKey(77 + gi)
         n_chunks = args.train_steps // args.chunk
         n_onp = int(round(args.onpolicy_frac * n_chunks))
         slots = (set(np.round(np.linspace(0, n_chunks - 1, n_onp)).astype(int))

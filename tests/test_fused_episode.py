@@ -336,3 +336,59 @@ def test_episode_selection_cost_decouples_from_stage_cost():
     ref_task = loop_task(params, x0, key)
     assert not np.allclose(np.asarray(ref.u_track),
                            np.asarray(ref_task.u_track))
+
+
+def test_bits_to_normal_distribution():
+    # the pure Box-Muller math behind inkernel_noise, fed host-generated
+    # uint32 bits (pltpu.prng_* has no CPU lowering); N(0,1) moments +
+    # quantiles to tolerances a 2^20 sample pins tightly
+    from mpc_via_diffusion_model_tpu.ops.fused_episode import _bits_to_normal
+
+    rng = np.random.RandomState(7)
+    n = 1 << 20
+    b1 = jnp.asarray(rng.randint(0, 2 ** 32, size=(n,), dtype=np.uint64)
+                     .astype(np.uint32))
+    b2 = jnp.asarray(rng.randint(0, 2 ** 32, size=(n,), dtype=np.uint64)
+                     .astype(np.uint32))
+    z = np.asarray(_bits_to_normal(b1, b2))
+    assert np.all(np.isfinite(z))
+    assert abs(z.mean()) < 5e-3
+    assert abs(z.std() - 1.0) < 5e-3
+    # standard normal quantiles: |z| < 1.96 covers 95%, < 2.58 covers 99%
+    assert abs((np.abs(z) < 1.96).mean() - 0.95) < 2e-3
+    assert abs((np.abs(z) < 2.58).mean() - 0.99) < 1e-3
+    # skew ~ 0, excess kurtosis ~ 0
+    assert abs((z ** 3).mean()) < 2e-2
+    assert abs((z ** 4).mean() - 3.0) < 5e-2
+
+
+def test_key_to_seeds_distinct():
+    from mpc_via_diffusion_model_tpu.ops.fused_episode import _key_to_seeds
+
+    s0 = np.asarray(_key_to_seeds(jax.random.PRNGKey(0)))
+    s0b = np.asarray(_key_to_seeds(jax.random.PRNGKey(0)))
+    s1 = np.asarray(_key_to_seeds(jax.random.PRNGKey(1)))
+    assert s0.shape == (2,) and s0.dtype == np.int32
+    np.testing.assert_array_equal(s0, s0b)
+    assert not np.array_equal(s0, s1)
+
+
+def test_inkernel_noise_episode_traces():
+    # no CPU lowering for the hardware PRNG, but the kernel must TRACE with
+    # the seed plumbing (shapes/specs correct) — eval_shape stops before
+    # lowering; the real-TPU behavior is measured by the serving benches
+    plant, cost, horizon, model, params, schedule, in_stats, c_stats = _setup()
+    times = [9, 6, 3, 0]
+    for K in (1, 4):
+        episode = make_fused_ddim_episode(
+            model, params, schedule, times, in_stats, c_stats, plant, cost,
+            n_steps=5, n_candidates=K, inkernel_noise=True)
+        out = jax.eval_shape(episode, jnp.zeros((2,)), jax.random.PRNGKey(0))
+        assert out[0].shape == (6, 2) and out[1].shape == (5, 1)
+    diffusion = GaussianDiffusion(schedule=schedule)
+    del diffusion
+    cfg_episode = make_fused_cfg_episode(
+        model, params, schedule, in_stats, c_stats, plant, cost,
+        n_steps=5, n_candidates=4, inkernel_noise=True)
+    out = jax.eval_shape(cfg_episode, jnp.zeros((2,)), jax.random.PRNGKey(0))
+    assert out[0].shape == (6, 2)
