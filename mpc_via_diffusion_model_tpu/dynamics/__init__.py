@@ -22,9 +22,11 @@ from .arm import (
     panda_ee_velocity,
     panda_fk,
     panda_inverse_dynamics,
+    panda_inverse_dynamics_unrolled,
     panda_link_transforms,
     panda_mass_matrix,
     panda_rbd,
+    panda_rbd_unrolled,
     panda_surrogate,
 )
 

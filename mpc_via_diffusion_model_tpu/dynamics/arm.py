@@ -44,6 +44,8 @@ __all__ = [
     "panda_context",
     "make_panda_context",
     "panda_inverse_dynamics",
+    "panda_inverse_dynamics_unrolled",
+    "panda_rbd_unrolled",
     "panda_mass_matrix",
     "PANDA_READY_POSE",
 ]
@@ -361,3 +363,154 @@ def make_panda_context(q_ref: np.ndarray = PANDA_READY_POSE):
         return jnp.concatenate([q, qd, panda_fk(q), panda_ee_velocity(q, qd)])
 
     return ctx
+
+
+# --------------------------------------------------------------------------- #
+# Mosaic-safe (kernel-lowerable) articulated dynamics (round 5)
+#
+# The scan-based RNE above cannot enter a Pallas kernel: Mosaic's lowering
+# rejects `lax.scan` with extensive inputs (lowering.py _scan_lowering_rule,
+# AOT-probed), and `jnp.cross` lowers through a gather
+# (`dynamics/quadrotor.py:54` note). These variants trade trace size for
+# kernel compatibility: python-unrolled 7-link passes, component-formula
+# cross products, explicit 3-vector matvecs, and an unrolled scalar
+# Cholesky solve for M(q) qdd = rhs (M is SPD by construction). Numerics
+# match the scan/linalg path to fp32 round-off (tests/test_arm.py).
+# --------------------------------------------------------------------------- #
+
+
+def _cross3u(a, b):
+    """Gather-free cross product of two (3,) vectors."""
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def _matvec3(r, v):
+    """Explicit (3,3) @ (3,) — Mosaic-safe scalar products (no dot)."""
+    return jnp.stack([
+        r[0, 0] * v[0] + r[0, 1] * v[1] + r[0, 2] * v[2],
+        r[1, 0] * v[0] + r[1, 1] * v[1] + r[1, 2] * v[2],
+        r[2, 0] * v[0] + r[2, 1] * v[1] + r[2, 2] * v[2],
+    ])
+
+
+def _matvec3_t(r, v):
+    """Explicit r.T @ v without materializing the transpose."""
+    return jnp.stack([
+        r[0, 0] * v[0] + r[1, 0] * v[1] + r[2, 0] * v[2],
+        r[0, 1] * v[0] + r[1, 1] * v[1] + r[2, 1] * v[2],
+        r[0, 2] * v[0] + r[1, 2] * v[1] + r[2, 2] * v[2],
+    ])
+
+
+def panda_inverse_dynamics_unrolled(q, qd, qdd, gravity=_GRAVITY):
+    """`panda_inverse_dynamics` as trace-time python loops (14 link bodies
+    in the trace instead of 2 scan bodies) — the form that lowers to
+    Mosaic. Use the scan version everywhere XLA runs (iLQR, collection):
+    its 50x-smaller trace is what keeps those compiles fast."""
+    z2 = 1.0  # joint axis is z: only the [2] components of qd_i*z survive
+    coms = _PANDA_COM
+    inertias = _PANDA_INERTIA
+    masses = _PANDA_MASS
+
+    omega = jnp.zeros(3)
+    omegad = jnp.zeros(3)
+    vd = jnp.array([0.0, 0.0, 1.0]) * gravity
+    rs, ps, F, N = [], [], [], []
+    for i in range(7):
+        r_i, p_i = _link_rot_pos(q[i], i)
+        c = jnp.asarray(coms[i], jnp.float32)
+        inertia = jnp.asarray(inertias[i], jnp.float32)
+        mass = jnp.float32(masses[i])
+        vd = _matvec3_t(r_i, vd + _cross3u(omegad, p_i)
+                        + _cross3u(omega, _cross3u(omega, p_i)))
+        omega_r = _matvec3_t(r_i, omega)
+        qd_z = jnp.stack([jnp.zeros(()), jnp.zeros(()), qd[i] * z2])
+        qdd_z = jnp.stack([jnp.zeros(()), jnp.zeros(()), qdd[i] * z2])
+        omegad = _matvec3_t(r_i, omegad) + _cross3u(omega_r, qd_z) + qdd_z
+        omega = omega_r + qd_z
+        vd_c = vd + _cross3u(omegad, c) + _cross3u(omega, _cross3u(omega, c))
+        f_i = mass * vd_c
+        n_i = _matvec3(inertia, omegad) + _cross3u(omega, _matvec3(inertia, omega))
+        rs.append(r_i); ps.append(p_i); F.append(f_i); N.append(n_i)
+
+    f_next = jnp.zeros(3)
+    n_next = jnp.zeros(3)
+    taus = [None] * 7
+    for i in reversed(range(7)):
+        if i < 6:
+            r_nx, p_nx = rs[i + 1], ps[i + 1]
+            f_from_child = _matvec3(r_nx, f_next)
+            n_from_child = _matvec3(r_nx, n_next) + _cross3u(p_nx, f_from_child)
+        else:
+            f_from_child = jnp.zeros(3)
+            n_from_child = jnp.zeros(3)
+        c = jnp.asarray(coms[i], jnp.float32)
+        f_i = f_from_child + F[i]
+        n_i = N[i] + n_from_child + _cross3u(c, F[i])
+        f_next, n_next = f_i, n_i
+        taus[i] = n_i[2]
+    return jnp.stack(taus)
+
+
+def _solve_spd_unrolled(m, b, n=7):
+    """x with m x = b for SPD m — scalar Cholesky fully unrolled at trace
+    time (static indexing only; no pivoting needed for SPD, no
+    jnp.linalg)."""
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = m[i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if i == j:
+                l[i][j] = jnp.sqrt(s)
+            else:
+                l[i][j] = s / l[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x)
+
+
+def panda_rbd_unrolled(dt: float = 0.01,
+                       q_ref: np.ndarray = PANDA_READY_POSE) -> Plant:
+    """`panda_rbd` with every solver ingredient in Mosaic-lowerable form:
+    same state/control/integrator semantics (parity-tested), but the step
+    traces into a Pallas kernel — enabling the whole-EPISODE panda kernel
+    (`ops/fused_episode.py` plant envelope) that the scan/linalg plant
+    could not (`fused_episode.py` module note; reference Panda loop:
+    `inference_diffusion_panda.py:31,159`)."""
+    q_ref_j = jnp.asarray(q_ref, jnp.float32)
+    viscous = jnp.asarray(_PANDA_VISCOUS, jnp.float32)
+
+    def step(x, u):
+        q = x[:7] + q_ref_j
+        qd = x[7:]
+        bias = panda_inverse_dynamics_unrolled(q, qd, jnp.zeros(7))
+        # mass columns by the RNE trick, python-unrolled (no vmap: batched
+        # link bodies would re-introduce reshapes Mosaic cannot lower)
+        cols = [panda_inverse_dynamics_unrolled(
+            q, jnp.zeros(7), jnp.asarray(e, jnp.float32), gravity=0.0)
+            for e in np.eye(7)]
+        m = jnp.stack(cols, axis=1)
+        m = 0.5 * (m + m.T)
+        rhs = jnp.reshape(u, (7,)) - bias - viscous * qd
+        qdd = _solve_spd_unrolled(m, rhs)
+        qd_next = qd + qdd * dt
+        q_next = x[:7] + qd_next * dt
+        return jnp.concatenate([q_next, qd_next])
+
+    return Plant(name="panda_rbd", state_dim=14, control_dim=7, dt=dt, step=step)

@@ -151,6 +151,7 @@ def make_fused_ddim_episode(
     n_steps: int = 80,
     n_candidates: int = 1,
     selection_cost=None,
+    selection_horizon: Optional[int] = None,
     weights_dtype=jnp.float32,
     clip_denoised: bool = True,
     interpret: bool = False,
@@ -171,7 +172,13 @@ def make_fused_ddim_episode(
     draws are Box-Muller from hardware bits, NOT bit-equal to
     `jax.random.normal`, so the episode is distributionally (not bitwise)
     comparable to the XLA loop; requires real TPU (no CPU/interpret
-    lowering).
+    lowering). Mosaic envelope (AOT-probed on the quadrotor H=48 config):
+    compiles for K <= 14 at any episode length; K=16 (768 rows) crashes
+    the Mosaic compiler whenever ANY in-kernel draw is present — even
+    steps=2, no selection, chunked (512,4)+(256,4) or transposed (4,768)
+    draws — though the same 768-row body with STAGED noise and a
+    standalone gauss((768,4)) kernel both compile. Use the staged
+    dependent-chain protocol at K=16.
 
     ``n_candidates > 1`` runs best-of-K IN-kernel: K candidate horizons
     denoise as one batched U-Net body (rows = K*H), each rolls open-loop
@@ -263,6 +270,11 @@ def make_fused_ddim_episode(
     # argmin-candidate extraction uses.
     if K > 1:
         sel_cost = cost if selection_cost is None else selection_cost
+        # truncated scoring (control/runtime.py:144-167 semantics): score
+        # only the credible plan prefix; terminal cost only when the FULL
+        # plan is scored — a truncated rollout's last state is not the
+        # plan's terminal state
+        sel_h = int(selection_horizon or horizon)
 
         def _cand_costs(x0v, u_cand):
             x0_b = jnp.broadcast_to(x0v, (K, dx))
@@ -276,8 +288,12 @@ def make_fused_ddim_episode(
                 return jax.vmap(plant.step)(xc, u), acc
 
             x_f, acc = jax.lax.fori_loop(
-                0, horizon, body_fn, (x0_b, jnp.zeros((K,), jnp.float32)))
-            return acc + jax.vmap(cost.terminal)(x_f)
+                0, sel_h, body_fn, (x0_b, jnp.zeros((K,), jnp.float32)))
+            if sel_h == horizon:
+                # terminal with the SELECTION cost, matching the runtime
+                # (the loop passes sel_cost as its `cost`)
+                acc = acc + jax.vmap(sel_cost.terminal)(x_f)
+            return acc
 
         costs_call = _kernel_safe_fn(_cand_costs, flat,
                                      jnp.zeros((dx,), jnp.float32),
@@ -404,6 +420,7 @@ def make_fused_cfg_episode(
     n_diffusion_steps_without_noise: int = 5,
     n_candidates: int = 1,
     selection_cost=None,
+    selection_horizon: Optional[int] = None,
     weights_dtype=jnp.float32,
     clip_denoised: bool = True,
     interpret: bool = False,
@@ -494,6 +511,7 @@ def make_fused_cfg_episode(
     # kernel (Mosaic rejects scan-with-xs and value dynamic_slice)
     if K > 1:
         sel_cost = cost if selection_cost is None else selection_cost
+        sel_h = int(selection_horizon or horizon)  # runtime.py truncation
 
         def _cand_costs(x0v, u_cand):
             x0_b = jnp.broadcast_to(x0v, (K, dx))
@@ -507,8 +525,10 @@ def make_fused_cfg_episode(
                 return jax.vmap(plant.step)(xc, u), acc
 
             x_f, acc = jax.lax.fori_loop(
-                0, horizon, body_fn, (x0_b, jnp.zeros((K,), jnp.float32)))
-            return acc + jax.vmap(sel_cost.terminal)(x_f)
+                0, sel_h, body_fn, (x0_b, jnp.zeros((K,), jnp.float32)))
+            if sel_h == horizon:
+                acc = acc + jax.vmap(sel_cost.terminal)(x_f)
+            return acc
 
         costs_call = _kernel_safe_fn(_cand_costs, flat,
                                      jnp.zeros((dx,), jnp.float32),

@@ -41,6 +41,14 @@ def main():
     p.add_argument("--sustained-steps", type=int, default=400)
     p.add_argument("--candidates", type=int, nargs="+", default=[16])
     p.add_argument("--sel-h", type=int, default=32)
+    p.add_argument("--whole-episode", action="store_true",
+                   help="ALSO bench the round-5 whole-EPISODE panda kernel: "
+                        "dynamics/arm.py panda_rbd_unrolled (python-unrolled "
+                        "RNE + explicit crosses + unrolled Cholesky) lowers "
+                        "to Mosaic where the scan/linalg plant could not, so "
+                        "the full closed loop — 1-eval DDIM chain, FK "
+                        "context, RNE plant step — runs as ONE kernel "
+                        "dispatch per episode")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -98,11 +106,14 @@ def main():
             sample_override=chain,
             state_to_condition=to_cond, selection_horizon=sel_h))
         # quality cross-check vs the committed report row (same 10-seed
-        # protocol) — catches loading the wrong weights/chain
+        # protocol) — catches loading the wrong weights/chain. Seeds run
+        # SEQUENTIALLY: vmapping 10 seeds over the K=16 H=128 fused chain
+        # blows the 16M scoped-VMEM stack (round-4 measured wall; this
+        # bench hit it live at K=16)
         keys = jax.random.split(jax.random.PRNGKey(7), 10)
-        runs = jax.jit(jax.vmap(lambda k: loop(student, x0, k)))(keys)
-        out[f"{tag}_cost_mean10"] = round(
-            float(np.asarray(runs.stage_costs.sum(axis=1)).mean()), 2)
+        costs10 = [float(np.asarray(loop(student, x0, keys[i])
+                                    .stage_costs).sum()) for i in range(10)]
+        out[f"{tag}_cost_mean10"] = round(float(np.mean(costs10)), 2)
 
         run = lambda xx, kk: loop(student, xx, kk).x_track
         argse = [(x0, jax.random.fold_in(key, 10 + i)) for i in range(8)]
@@ -133,6 +144,44 @@ def main():
     bench_config(1, None, "k1")
     for K in args.candidates:
         bench_config(K, args.sel_h, f"k{K}_selh{args.sel_h}")
+
+    if args.whole_episode:
+        from mpc_via_diffusion_model_tpu.dynamics import panda_rbd_unrolled
+        from mpc_via_diffusion_model_tpu.ops.fused_episode import (
+            make_fused_ddim_episode)
+
+        plant_u = panda_rbd_unrolled()
+        episode = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant_u,
+            cost, n_steps=args.steps, state_to_condition=to_cond))
+        keys = jax.random.split(jax.random.PRNGKey(7), 10)
+        costs = []
+        for i in range(10):
+            _, _, c = episode(x0, keys[i])
+            costs.append(float(np.asarray(c).sum()))
+        out["episode_cost_mean10"] = round(float(np.mean(costs)), 2)
+        run = lambda xx, kk: episode(xx, kk)[0]
+        argse = [(x0, jax.random.fold_in(key, 40 + i)) for i in range(8)]
+        out["episode_hz_pipelined"] = round(
+            args.steps / pipelined_time_fn(run, argse), 1)
+        ep_long = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant_u,
+            cost, n_steps=args.sustained_steps, state_to_condition=to_cond))
+        jax.block_until_ready(ep_long(x0, key)[0])
+        sus = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                ep_long(x0, jax.random.fold_in(key, 950 + r))[0])
+            sus.append(time.perf_counter() - t0)
+        out["episode_hz_sustained"] = round(args.sustained_steps / min(sus), 1)
+        print(json.dumps({"metric": "panda_whole_episode_kernel_hz",
+                          "pipelined": out["episode_hz_pipelined"],
+                          "sustained": out["episode_hz_sustained"],
+                          "cost_mean10": out["episode_cost_mean10"]}),
+              flush=True)
+        with open(bench_path, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,14 @@ def main():
                         "the unrolled rank<=1 hinge lowers at K=4 and K=16 "
                         "(bisected via AOT probes). Kept opt-in so the "
                         "always-compiling XLA rows land first.")
+    p.add_argument("--inkernel-noise", type=int, nargs="*", default=None,
+                   help="K values to ALSO bench with round-5 in-kernel "
+                        "hardware-PRNG noise (ops/fused_episode.py "
+                        "inkernel_noise): the rate_steps-long episode then "
+                        "compiles as ONE dispatch at any K the Mosaic "
+                        "compiler accepts (probed: K<=14; K=16 crashes the "
+                        "compiler). Quality is distributional, not bitwise, "
+                        "vs the staged path. Pass with no values for [1, 8]")
     p.add_argument("--fleet", type=int, default=0,
                    help="if >1, also measure the aggregate control-steps/s "
                         "of a vmapped fleet of K=1 episode kernels")
@@ -280,6 +288,45 @@ def main():
             **out[f"episode_k{K}"]}), flush=True)
         # checkpoint after EACH in-kernel K: a Mosaic crash at the next K
         # must not lose this one's rows
+        with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
+            json.dump(out, f, indent=2)
+
+    # ---- round 5: in-kernel PRNG noise (single-dispatch LONG episodes) ----
+    ik_values = args.inkernel_noise
+    if ik_values is not None and len(ik_values) == 0:
+        ik_values = [1, 8]
+    for K in (ik_values or []):
+        tag = f"inkernel_noise_k{K}"
+        sel = make_select_cost(quad_cost) if K > 1 else None
+        # quality at the 60-step task protocol (statistical vs the staged
+        # rows: the hardware draws are not bit-equal to jax.random.normal)
+        ep_q = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant,
+            quad_cost, n_steps=args.steps, n_candidates=K,
+            selection_cost=sel, inkernel_noise=True))
+        q_tracks = np.stack([np.asarray(ep_q(ev_j[i], ks[i])[0])
+                             for i in range(args.eval_starts)])
+        out[tag] = collision_metrics(q_tracks)
+        # the headline row: ONE dispatch for the whole rate_steps episode --
+        # no pre-staged noise, no dependent chain
+        ep_long = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant,
+            quad_cost, n_steps=args.rate_steps, n_candidates=K,
+            selection_cost=sel, inkernel_noise=True))
+        jax.block_until_ready(ep_long(ev_j[0], ks[0])[0])
+        sus = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                ep_long(ev_j[0], jax.random.fold_in(key, 800 + r))[0])
+            sus.append(time.perf_counter() - t0)
+        out[f"{tag}_hz_sustained_single_dispatch"] = round(
+            args.rate_steps / min(sus), 1)
+        print(json.dumps({
+            "metric": f"quadrotor_student_{tag}_hz",
+            "value": out[f"{tag}_hz_sustained_single_dispatch"],
+            "unit": "Hz", "protocol": f"single-dispatch {args.rate_steps}-step",
+            **out[tag]}), flush=True)
         with open(os.path.join(args.student_dir, "bench.json"), "w") as f:
             json.dump(out, f, indent=2)
 

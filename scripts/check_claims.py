@@ -222,6 +222,60 @@ CLAIMS = [
     ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
      "cumulative_cost_ratio_by_depth.128", dict(nd=1),
      ["README.md"], "panda horizon-decay ratio at depth 128"),
+    # --- round 5: panda DAgger v2 (deployment-policy collection) ---
+    ("artifacts/onpolicy_panda_v2/report.json",
+     "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
+     ["README.md"], "panda DAgger v2 K=16 sel_h=32 vs expert"),
+    ("artifacts/onpolicy_panda_v2/report.json",
+     "rows.[K=16,selection_horizon=32].ratio_vs_teacher", dict(nd=4),
+     ["README.md"], "panda DAgger v2 K=16 sel_h=32 vs teacher"),
+    ("artifacts/onpolicy_panda_v2/report.json",
+     "rows.[K=1].ratio_vs_expert", dict(nd=4),
+     ["README.md"], "panda DAgger v2 K=1 vs expert"),
+    ("artifacts/onpolicy_panda_v2/bench.json", "k1_hz_pipelined",
+     dict(nd=1, comma=True), ["README.md"], "panda DAgger v2 K=1 Hz"),
+    ("artifacts/onpolicy_panda_v2/bench.json", "k1_hz_sustained",
+     dict(nd=1, comma=True), ["README.md"],
+     "panda DAgger v2 K=1 sustained Hz"),
+    # --- round 5: acrobot long-horizon diagnosis ---
+    ("artifacts/flagship_acrobot/horizon_diagnosis.json",
+     "expert.max_cost_ratio_lo_over_hi", dict(nd=4),
+     ["README.md", "BENCH.md"], "acrobot h32/h256 max cost ratio"),
+    ("artifacts/flagship_acrobot/horizon_diagnosis.json",
+     "diffusion_400step.mean_cost", dict(nd=2),
+     ["README.md"], "acrobot diffusion 400-step mean cost"),
+    ("artifacts/flagship_acrobot/horizon_diagnosis.json",
+     "modality_theta1.final_theta1.0", dict(nd=4),
+     ["README.md"], "acrobot settled theta1"),
+    # --- round 5: self-distilled cart-pole measured K/Hz table ---
+    ("artifacts/onpolicy_cartpole/bench.json",
+     "deep_distilled_1eval_sustained_hz", dict(nd=1, comma=True),
+     ["README.md"], "self-distilled cart-pole K=1 sustained Hz"),
+    ("artifacts/onpolicy_cartpole/bench.json",
+     "deep_distilled_1eval_k4_sustained_hz", dict(nd=1, comma=True),
+     ["README.md"], "self-distilled cart-pole in-kernel K=4 sustained Hz"),
+    ("artifacts/onpolicy_cartpole/bench.json",
+     "deep_distilled_1eval_fused_episode_hz_extra.cost_ratio_vs_expert",
+     dict(nd=4), ["README.md"], "self-distilled cart-pole K=1 ratio (bench)"),
+    ("artifacts/onpolicy_cartpole/bench.json",
+     "deep_distilled_1eval_k4_sustained_hz_extra.cost_ratio_vs_expert_80",
+     dict(nd=4), ["README.md"], "self-distilled cart-pole K=4 ratio (bench)"),
+    # --- round 5: in-kernel hardware-PRNG noise (single-dispatch K) ---
+    ("artifacts/onpolicy_quadrotor/bench.json",
+     "inkernel_noise_k8_hz_sustained_single_dispatch",
+     dict(nd=1, comma=True), ["BENCH.md", "README.md"],
+     "inkernel-noise K=8 single-dispatch Hz"),
+    ("artifacts/onpolicy_quadrotor/bench.json",
+     "inkernel_noise_k8.safe_reach_fraction", dict(nd=4),
+     ["BENCH.md", "README.md"], "inkernel-noise K=8 safe-reach"),
+    ("artifacts/onpolicy_quadrotor/bench.json",
+     "inkernel_noise_k1_hz_sustained_single_dispatch",
+     dict(nd=1, comma=True), ["BENCH.md", "README.md"],
+     "inkernel-noise K=1 single-dispatch Hz"),
+    ("artifacts/onpolicy_quadrotor/bench.json",
+     "inkernel_noise_k12_hz_sustained_single_dispatch",
+     dict(nd=1, comma=True), ["BENCH.md"],
+     "inkernel-noise K=12 single-dispatch Hz"),
     # --- round 5: scene-conditioned Panda arm (artifacts/scene_panda) ---
     ("artifacts/scene_panda/report.json",
      "rows.[arm=blind].fraction_free", dict(nd=3),

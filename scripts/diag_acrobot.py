@@ -71,6 +71,9 @@ def main():
     ds = ControlSequenceDataset.load(os.path.join(args.art, "dataset.npz"))
     with open(os.path.join(args.art, "ema_params.pkl"), "rb") as f:
         ema = pickle.load(f)
+    if isinstance(ema, dict) and "ema_params" in ema:
+        # flagship_run wraps the EMA tree with step/cfg metadata
+        ema = ema["ema_params"]
 
     # the flagship's eval start + the collection-grid corners
     x0_eval = np.asarray(make_acrobot_grid([0.7], [-0.7])[0])
@@ -83,13 +86,18 @@ def main():
 
     # ---- 1) expert horizon sweep over the reference's 400 steps ----
     for h in args.horizons:
+        # iterations scale with horizon: a 256-step OCP at the 32-step
+        # budget (25 iters) is badly under-converged (first run measured
+        # h256 costs ~8x h32's — solver budget, not horizon truth)
+        iters = max(25, h // 2)
         nmpc = jax.jit(jax.vmap(make_nmpc_closed_loop(
-            plant, cost, ILQRConfig(horizon=h, n_iterations=25),
+            plant, cost, ILQRConfig(horizon=h, n_iterations=iters),
             n_steps=args.steps, u_init_scale=40.0)))
         t0 = time.time()
         runs = nmpc(jnp.asarray(starts))
         costs = np.asarray(runs.stage_costs.sum(axis=1))
         report["expert"][f"horizon_{h}"] = {
+            "n_iterations": iters,
             "closed_loop_costs": [round(float(c), 2) for c in costs],
             "mean": round(float(costs.mean()), 2),
             "seconds": round(time.time() - t0, 1),

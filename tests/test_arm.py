@@ -187,3 +187,40 @@ def test_panda_rbd_plant_gravity_pulls_and_ilqr_regulates():
     assert float(sol.cost) < float(j_zero) * 0.5
     # final posture error much smaller than free-fall's
     assert float(jnp.abs(sol.xs[-1, :7]).max()) < float(jnp.abs(xs_zero[-1, :7]).max())
+
+
+def test_panda_unrolled_matches_scan_dynamics():
+    """The Mosaic-safe python-unrolled RNE/mass/Cholesky path (round 5,
+    `panda_rbd_unrolled`) must reproduce the scan/linalg plant to fp32
+    round-off — single step and 20-step rollout."""
+    import numpy as np
+    from mpc_via_diffusion_model_tpu.dynamics import (
+        panda_inverse_dynamics, panda_inverse_dynamics_unrolled,
+        panda_rbd, panda_rbd_unrolled)
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.uniform(-1, 1, 7).astype(np.float32))
+    qd = jnp.asarray(rng.uniform(-1, 1, 7).astype(np.float32))
+    qdd = jnp.asarray(rng.uniform(-1, 1, 7).astype(np.float32))
+    t1 = np.asarray(jax.jit(panda_inverse_dynamics)(q, qd, qdd))
+    t2 = np.asarray(jax.jit(panda_inverse_dynamics_unrolled)(q, qd, qdd))
+    np.testing.assert_allclose(t1, t2, rtol=2e-5, atol=2e-5)
+
+    p1 = panda_rbd()
+    p2 = panda_rbd_unrolled()
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, 14).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-2, 2, 7).astype(np.float32))
+    s1 = np.asarray(jax.jit(p1.step)(x, u))
+    s2 = np.asarray(jax.jit(p2.step)(x, u))
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+    def roll(plant):
+        def body(xc, _):
+            xn = plant.step(xc, u * 0.1)
+            return xn, xn
+        _, xs = jax.lax.scan(body, x, None, length=20)
+        return xs
+
+    xs1 = np.asarray(jax.jit(lambda: roll(p1))())
+    xs2 = np.asarray(jax.jit(lambda: roll(p2))())
+    np.testing.assert_allclose(xs1, xs2, rtol=5e-4, atol=5e-4)
