@@ -222,6 +222,16 @@ CLAIMS = [
     ("artifacts/flagship_panda_rbd/horizon_diagnosis.json",
      "cumulative_cost_ratio_by_depth.128", dict(nd=1),
      ["README.md"], "panda horizon-decay ratio at depth 128"),
+    # --- round 5: scene self-distillation scaled to 544 layouts ---
+    ("artifacts/onpolicy_scene_scaled/report.json",
+     "rows.[student=before,K=1].collision_free_fraction", dict(nd=4),
+     ["README.md"], "scene scaled before K=1 CF (64 starts)"),
+    ("artifacts/onpolicy_scene_scaled/report.json",
+     "rows.[student=onpolicy,K=1].collision_free_fraction", dict(nd=4),
+     ["README.md"], "scene scaled after K=1 CF (64 starts)"),
+    ("artifacts/onpolicy_scene_scaled/report.json",
+     "rows.[student=onpolicy,K=16].safe_reach_fraction", dict(nd=4),
+     ["README.md"], "scene scaled K=16 safe-reach (64 starts)"),
     # --- round 5: panda DAgger v2 (deployment-policy collection) ---
     ("artifacts/onpolicy_panda_v2/report.json",
      "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
