@@ -91,6 +91,14 @@ def main():
     p.add_argument("--skip-panda-fused", action="store_true")
     p.add_argument("--only-panda-fused", action="store_true",
                    help="run only the fused panda episode rows (iteration)")
+    p.add_argument("--panda-episode-kernel", action="store_true",
+                   help="ONLY measure the round-5 whole-EPISODE panda CFG "
+                        "kernel: dynamics/arm.py panda_rbd_unrolled lowers "
+                        "the 7-link RNE + FK context into Mosaic, so the "
+                        "TEACHER-grade loop (80 replans x 30 CFG denoise "
+                        "steps x 256 rows + articulated plant step) runs as "
+                        "ONE kernel dispatch per episode (AOT-probed; "
+                        "in-kernel hardware-PRNG noise)")
     args = p.parse_args()
 
     import jax
@@ -117,14 +125,20 @@ def main():
                          dim_mults=UNET_DIM_MULTS[0], context_dim=20,
                          conditioning_type="default", cfg_indicator=True)
     art = "artifacts/flagship_panda_rbd"
-    real = (os.path.exists(os.path.join(art, "dataset.npz"))
-            and os.path.exists(os.path.join(art, "checkpoints", "final.ckpt")))
+    real = os.path.exists(os.path.join(art, "dataset.npz")) and (
+        os.path.exists(os.path.join(art, "checkpoints", "final.ckpt"))
+        or os.path.exists(os.path.join(art, "ema_params.pkl")))
     if real:
         ds = ControlSequenceDataset.load(os.path.join(art, "dataset.npz"))
         in_stats = ds.normalizer.stats["inputs"]
         c_stats = ds.normalizer.stats["condition"]
-        state, _ = load_checkpoint(os.path.join(art, "checkpoints", "final.ckpt"))
-        params = state.ema_params
+        if os.path.exists(os.path.join(art, "checkpoints", "final.ckpt")):
+            state, _ = load_checkpoint(os.path.join(art, "checkpoints", "final.ckpt"))
+            params = state.ema_params
+        else:
+            import pickle
+            with open(os.path.join(art, "ema_params.pkl"), "rb") as f:
+                params = pickle.load(f)["ema_params"]
     else:
         in_stats = NormalizerStats("limits", mins=jnp.full((7,), -30.0),
                                    maxs=jnp.full((7,), 30.0))
@@ -138,6 +152,46 @@ def main():
     if args.only_panda_fused:
         _panda_fused(args, jax, jnp, model, params, diffusion, in_stats,
                      c_stats, plant, cost, to_cond, x0_p, key, real)
+        return
+
+    if args.panda_episode_kernel:
+        import numpy as np
+        from mpc_via_diffusion_model_tpu.dynamics import panda_rbd_unrolled
+        from mpc_via_diffusion_model_tpu.ops.fused_episode import (
+            make_fused_cfg_episode)
+        plant_u = panda_rbd_unrolled()
+        ep = jax.jit(make_fused_cfg_episode(
+            model, params, diffusion.schedule, in_stats, c_stats, plant_u,
+            cost, n_steps=args.steps, w=0.01,
+            n_diffusion_steps_without_noise=5, state_to_condition=to_cond,
+            inkernel_noise=True))
+        # quality cross-check: same 10-seed protocol as the flagship eval
+        keys10 = jax.random.split(jax.random.PRNGKey(7), 10)
+        costs = [float(np.asarray(ep(x0_p, keys10[i])[2]).sum())
+                 for i in range(10)]
+        argse = [(x0_p, jax.random.fold_in(key, 60 + i)) for i in range(8)]
+        hz_p = round(args.steps / _pipelined(
+            lambda xx, kk: ep(xx, kk)[0], argse), 1)
+        ep_l = jax.jit(make_fused_cfg_episode(
+            model, params, diffusion.schedule, in_stats, c_stats, plant_u,
+            cost, n_steps=args.sustained_steps, w=0.01,
+            n_diffusion_steps_without_noise=5, state_to_condition=to_cond,
+            inkernel_noise=True))
+        jax.block_until_ready(ep_l(x0_p, key)[0])
+        reps = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(ep_l(x0_p, jax.random.fold_in(key, 900 + r))[0])
+            reps.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "panda_rbd_whole_episode_kernel_hz",
+            "value": round(args.sustained_steps / min(reps), 1),
+            "unit": "Hz", "pipelined": hz_p,
+            "cost_mean10": round(float(np.mean(costs)), 2),
+            "real_weights": real,
+            "note": "full CFG teacher loop + unrolled RNE plant + FK "
+                    "context + hardware-PRNG noise in ONE Mosaic kernel"}),
+            flush=True)
         return
 
     # --- XLA fused-loop path (the flagship_run eval protocol) ---

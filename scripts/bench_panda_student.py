@@ -97,14 +97,25 @@ def main():
                 "sustained_steps": args.sustained_steps,
                 "split": "fused DDIM chain kernel per replan, RNE plant XLA"})
 
+    def jit_with_vmem(fn, K, *example):
+        # the K>=8 H=128 chain kernel needs ~62.5M of scoped VMEM stack;
+        # the 16M default is a compiler safety cap, not hardware (v5e VMEM
+        # is 128M) — raise it per-compile like study_panda_candidates.py
+        jitted = jax.jit(fn)
+        if K < 8:
+            return jitted
+        opts = {"xla_tpu_scoped_vmem_limit_kib": 98304}
+        return jitted.lower(*example).compile(compiler_options=opts)
+
     def bench_config(K, sel_h, tag):
         chain = make_fused_ddim_chain(model, student, schedule, times,
                                       n_samples=K)
-        loop = jax.jit(make_closed_loop(
+        loop_fn = make_closed_loop(
             diffusion, model.apply, in_stats, c_stats, plant, cost,
             horizon=H, n_steps=args.steps, n_candidates=K,
             sample_override=chain,
-            state_to_condition=to_cond, selection_horizon=sel_h))
+            state_to_condition=to_cond, selection_horizon=sel_h)
+        loop = jit_with_vmem(loop_fn, K, student, x0, key)
         # quality cross-check vs the committed report row (same 10-seed
         # protocol) — catches loading the wrong weights/chain. Seeds run
         # SEQUENTIALLY: vmapping 10 seeds over the K=16 H=128 fused chain
@@ -120,11 +131,12 @@ def main():
         out[f"{tag}_hz_pipelined"] = round(
             args.steps / pipelined_time_fn(run, argse), 1)
 
-        loop_long = jax.jit(make_closed_loop(
+        loop_long = jit_with_vmem(make_closed_loop(
             diffusion, model.apply, in_stats, c_stats, plant, cost,
             horizon=H, n_steps=args.sustained_steps, n_candidates=K,
             sample_override=chain,
-            state_to_condition=to_cond, selection_horizon=sel_h))
+            state_to_condition=to_cond, selection_horizon=sel_h),
+            K, student, x0, key)
         jax.block_until_ready(loop_long(student, x0, key).x_track)
         sus = []
         for r in range(3):

@@ -232,6 +232,14 @@ def main():
         print(f"[train] done in {t_train:.1f}s; loss {losses[0]:.4f} -> {losses[-1]:.5f}", flush=True)
         save_checkpoint(ckpt_path, state, extra={"losses": losses})
         np.save(os.path.join(args.out, "train_losses.npy"), np.asarray(losses))
+        # ALSO write the committed-artifact EMA pickle (the acrobot/cart-pole
+        # artifact format): checkpoints/ is gitignored and container
+        # recreations wipe it — the round-3 panda teacher was lost that way
+        import pickle
+        with open(os.path.join(args.out, "ema_params.pkl"), "wb") as f:
+            pickle.dump({"ema_params": jax.device_get(state.ema_params),
+                         "step": int(state.step),
+                         "cfg_indicator": True}, f)
 
     tracer.end()
     # ---------------- 3) closed-loop evaluation ----------------
