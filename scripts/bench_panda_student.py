@@ -195,6 +195,30 @@ def main():
         with open(bench_path, "w") as f:
             json.dump(out, f, indent=2)
 
+        # in-kernel best-of-4 with truncated selection (round-5
+        # selection_horizon support in the kernel; K=4 AOT-probed COMPILED,
+        # the study's K=4 sel_h=16 operating point)
+        ep_k4 = jax.jit(make_fused_ddim_episode(
+            model, student, schedule, times, in_stats, c_stats, plant_u,
+            cost, n_steps=args.steps, n_candidates=4, selection_horizon=16,
+            state_to_condition=to_cond))
+        costs4 = []
+        for i in range(10):
+            _, _, c = ep_k4(x0, keys[i])
+            costs4.append(float(np.asarray(c).sum()))
+        out["episode_k4_selh16_cost_mean10"] = round(float(np.mean(costs4)), 2)
+        argse4 = [(x0, jax.random.fold_in(key, 70 + i)) for i in range(8)]
+        out["episode_k4_selh16_hz_pipelined"] = round(
+            args.steps / pipelined_time_fn(
+                lambda xx, kk: ep_k4(xx, kk)[0], argse4), 1)
+        print(json.dumps({
+            "metric": "panda_whole_episode_kernel_k4_selh16_hz",
+            "value": out["episode_k4_selh16_hz_pipelined"], "unit": "Hz",
+            "cost_mean10": out["episode_k4_selh16_cost_mean10"]}),
+            flush=True)
+        with open(bench_path, "w") as f:
+            json.dump(out, f, indent=2)
+
 
 if __name__ == "__main__":
     main()

@@ -247,6 +247,20 @@ CLAIMS = [
     ("artifacts/onpolicy_panda_v2/bench.json", "k1_hz_sustained",
      dict(nd=1, comma=True), ["README.md"],
      "panda DAgger v2 K=1 sustained Hz"),
+    ("artifacts/onpolicy_panda_v2/bench.json", "k16_selh32_hz_sustained",
+     dict(nd=1), ["README.md"], "panda DAgger v2 K=16 sel_h=32 Hz"),
+    # round 5: the whole-episode articulated-arm kernel
+    ("artifacts/onpolicy_panda_v2/bench.json", "episode_hz_pipelined",
+     dict(nd=1, comma=True), ["README.md", "BENCH.md"],
+     "panda whole-episode kernel pipelined Hz"),
+    ("artifacts/onpolicy_panda_v2/bench.json", "episode_hz_sustained",
+     dict(nd=1, comma=True), ["README.md", "BENCH.md"],
+     "panda whole-episode kernel sustained Hz"),
+    ("artifacts/onpolicy_panda_v2/bench.json", "episode_cost_mean10",
+     dict(nd=2), ["README.md"], "panda whole-episode kernel cost"),
+    ("artifacts/onpolicy_panda_v2/bench.json",
+     "episode_k4_selh16_hz_pipelined", dict(nd=1, comma=True),
+     ["README.md"], "panda whole-episode in-kernel K=4 Hz"),
     # --- round 5: acrobot long-horizon diagnosis ---
     ("artifacts/flagship_acrobot/horizon_diagnosis.json",
      "expert.max_cost_ratio_lo_over_hi", dict(nd=4),
