@@ -313,6 +313,12 @@ CLAIMS = [
     ("artifacts/scene_panda/report.json",
      "rows.[arm=cond+guide].fraction_free", dict(nd=3),
      ["BENCH.md", "README.md"], "scene-panda cond+guide fraction_free"),
+    ("artifacts/scene_panda/sample_efficiency.json",
+     "rows.[arm=cond].success_at_1", dict(nd=4),
+     ["artifacts/scene_panda/README.md"], "scene-panda cond success@1"),
+    ("artifacts/scene_panda/sample_efficiency.json",
+     "rows.[arm=blind].success_at_1", dict(nd=4),
+     ["artifacts/scene_panda/README.md"], "scene-panda blind success@1"),
 ]
 
 
