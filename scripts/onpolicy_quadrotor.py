@@ -47,6 +47,26 @@ def main():
     p.add_argument("--horizon", type=int, default=48)
     p.add_argument("--collect-starts", type=int, default=64)
     p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--collect-steps", type=int, default=None,
+                   help="collection-episode length (default --steps); longer "
+                        "episodes visit near-goal / post-arrival drift states "
+                        "so station-keeping labels exist (the round-5 fix for "
+                        "the goal-reach drift measured in "
+                        "onpolicy_scene_scaled/episode_length_diag.json)")
+    p.add_argument("--lqr-candidate", action="store_true",
+                   help="append the analytic LQR hover-regulator plan "
+                        "(quadrotor_task.make_lqr_hover_plan) to every "
+                        "best-of-K label set")
+    p.add_argument("--eval-steps-long", type=int, default=0,
+                   help="if >0, add eval rows at this episode length too "
+                        "(station-keeping diagnostic)")
+    p.add_argument("--init-student", default=None,
+                   help="start from this pkl instead of "
+                        "<student-dir>/student_1eval.pkl (chain a run on top "
+                        "of a committed one; 'before' rows eval THIS init)")
+    p.add_argument("--iter-offset", type=int, default=0,
+                   help="offset per-iteration seeds so a chained run "
+                        "collects fresh starts/keys")
     p.add_argument("--label-k", type=int, default=16)
     p.add_argument("--train-steps", type=int, default=4000,
                    help="fine-tune steps per iteration")
@@ -80,7 +100,8 @@ def main():
         make_scanned_train_steps,
     )
     from quadrotor_task import (
-        eval_start_states, make_select_cost, min_clearance_jax, track_metrics,
+        eval_start_states, make_lqr_hover_plan, make_select_cost,
+        min_clearance_jax, track_metrics,
     )
 
     os.makedirs(args.out, exist_ok=True)
@@ -94,7 +115,9 @@ def main():
 
     sreport = json.load(open(os.path.join(args.student_dir, "report.json")))
     times = [r for r in sreport["rounds"] if r["n_evals"] == 1][0]["times"]
-    with open(os.path.join(args.student_dir, "student_1eval.pkl"), "rb") as f:
+    init_path = (args.init_student if args.init_student
+                 else os.path.join(args.student_dir, "student_1eval.pkl"))
+    with open(init_path, "rb") as f:
         student0 = pickle.load(f)
 
     H = args.horizon
@@ -112,24 +135,28 @@ def main():
 
     _loop_cache = {}
 
-    def make_loop(params, K):
-        # cache per (weights identity, K): collection and eval share the
-        # same jitted program for the same student (compiles are minutes)
-        ck = (id(params), K)
+    def make_loop(params, K, steps=None):
+        # cache per (weights identity, K, steps): collection and eval share
+        # the same jitted program for the same student (compiles are minutes)
+        steps = args.steps if steps is None else steps
+        ck = (id(params), K, steps)
         if ck not in _loop_cache:
             override = lambda ctx, key: sampler(params, ctx, key, (K, H, 4))
             _loop_cache[ck] = jax.jit(make_closed_loop(
                 diffusion, model.apply, in_stats, c_stats, plant,
                 sel_cost if K > 1 else cost,
-                horizon=H, n_steps=args.steps, n_candidates=K,
+                horizon=H, n_steps=steps, n_candidates=K,
                 sample_override=override))
         return _loop_cache[ck]
 
-    def eval_student(params, K):
-        loop = make_loop(params, K)
+    def eval_student(params, K, steps=None):
+        loop = make_loop(params, K, steps)
         runs = jax.jit(jax.vmap(lambda x0, k: loop(params, x0, k)))(
             starts, eval_ks)
         return track_metrics(np.asarray(runs.x_track))
+
+    lqr_plan = (make_lqr_hover_plan(plant, cost, in_stats, H)
+                if args.lqr_candidate else None)
 
     # best-of-K label at a state: candidates from the CURRENT student,
     # scored by rolled-out task cost + hard collision penalty (the
@@ -140,6 +167,8 @@ def main():
             def per_row(x0, key):
                 ctx = normalize(c_stats, x0)[None]
                 plans = sampler(params, ctx, key, (args.label_k, H, 4))
+                if lqr_plan is not None:
+                    plans = jnp.concatenate([plans, lqr_plan(x0)[None]])
 
                 def score(u_n):
                     u = unnormalize(in_stats, u_n)
@@ -181,6 +210,9 @@ def main():
         "protocol": f"{args.eval_starts}-start wide eval (seed 7), "
                     f"{args.steps} steps, PRNGKey(11)",
         "times": times, "label_k": args.label_k,
+        "collect_steps": args.collect_steps or args.steps,
+        "lqr_candidate": bool(args.lqr_candidate),
+        "init_student": init_path, "iter_offset": args.iter_offset,
         "train": {"steps_per_iteration": args.train_steps,
                   "total_steps": args.train_steps * args.iterations,
                   "lr": args.lr, "onpolicy_frac": args.onpolicy_frac},
@@ -194,11 +226,12 @@ def main():
     pool_u, pool_c = [], []
     for it in range(args.iterations):
         t0 = time.time()
-        loop_k = make_loop(cur, args.label_k)
-        cks = jax.random.split(jax.random.PRNGKey(100 + it),
+        gi = it + args.iter_offset
+        loop_k = make_loop(cur, args.label_k, args.collect_steps)
+        cks = jax.random.split(jax.random.PRNGKey(100 + gi),
                                args.collect_starts)
         runs = jax.jit(jax.vmap(lambda x0, k: loop_k(cur, x0, k)))(
-            jnp.asarray(eval_start_states(args.collect_starts, seed=20 + it)),
+            jnp.asarray(eval_start_states(args.collect_starts, seed=20 + gi)),
             cks)
         visited = np.asarray(runs.x_track[:, :-1]).reshape(-1, 12)
         print(f"[it {it}] collect: {len(visited)} states "
@@ -206,7 +239,7 @@ def main():
 
         t1 = time.time()
         labeler = make_labeler(cur)
-        base_key = jax.random.PRNGKey(200 + it)
+        base_key = jax.random.PRNGKey(200 + gi)
         CH = 512
         xs = jnp.asarray(visited)
         lab = []
@@ -227,7 +260,7 @@ def main():
         state = TrainState(
             params=cur, ema_params=jax.tree_util.tree_map(jnp.copy, cur),
             opt_state=optimizer.init(cur), step=jnp.int32(0))
-        key = jax.random.PRNGKey(77 + it)
+        key = jax.random.PRNGKey(77 + gi)
         n_chunks = args.train_steps // args.chunk
         n_onp = int(round(args.onpolicy_frac * n_chunks))
         slots = (set(np.round(np.linspace(0, n_chunks - 1, n_onp)).astype(int))
@@ -251,14 +284,18 @@ def main():
     with open(os.path.join(args.out, "student_1eval.pkl"), "wb") as f:
         pickle.dump(student, f)
 
+    eval_lengths = [args.steps]
+    if args.eval_steps_long:
+        eval_lengths.append(args.eval_steps_long)
     for tag, params in (("before", student0), ("onpolicy", student)):
-        for K in (1, 16):
-            m = eval_student(params, K)
-            row = {"student": tag, "K": K, **m}
-            report["rows"].append(row)
-            print(json.dumps(row), flush=True)
-            with open(os.path.join(args.out, "report.json"), "w") as f:
-                json.dump(report, f, indent=2)
+        for steps in eval_lengths:
+            for K in (1, 16):
+                m = eval_student(params, K, steps)
+                row = {"student": tag, "K": K, "steps": steps, **m}
+                report["rows"].append(row)
+                print(json.dumps(row), flush=True)
+                with open(os.path.join(args.out, "report.json"), "w") as f:
+                    json.dump(report, f, indent=2)
 
     print(json.dumps({k: v for k, v in report.items() if k != "rows"},
                      indent=2), flush=True)

@@ -52,6 +52,21 @@ def main():
     p.add_argument("--collect-scenes", type=int, default=16)
     p.add_argument("--collect-starts", type=int, default=8,
                    help="starts per collection scene")
+    p.add_argument("--collect-steps", type=int, default=None,
+                   help="collection-episode length (default --steps); longer "
+                        "than --steps makes the policy VISIT near-goal and "
+                        "post-arrival drift states so station-keeping labels "
+                        "exist to learn from (the round-5 fix for the 0.75 "
+                        "safe-reach ceiling)")
+    p.add_argument("--lqr-candidate", action="store_true",
+                   help="append the analytic LQR hover-regulator plan "
+                        "(quadrotor_task.make_lqr_hover_plan) to every "
+                        "best-of-K label set — the expert for exactly the "
+                        "near-goal regime the sampled candidates miss")
+    p.add_argument("--eval-steps-long", type=int, default=0,
+                   help="if >0, add eval rows at this episode length too "
+                        "(the station-keeping diagnostic: goal-reach at 100 "
+                        "steps collapsed to 0.0 before this fix)")
     p.add_argument("--label-k", type=int, default=16)
     p.add_argument("--label-margin", type=float, default=0.0,
                    help="clearance margin in the label curation score: "
@@ -99,8 +114,8 @@ def main():
         TrainState, make_optimizer, make_scanned_train_steps, make_train_step,
     )
     from quadrotor_task import (
-        eval_start_states, make_select_cost, min_clearance_jax, sample_scenes,
-        scene_features, track_metrics,
+        eval_start_states, make_lqr_hover_plan, make_select_cost,
+        min_clearance_jax, sample_scenes, scene_features, track_metrics,
     )
 
     os.makedirs(args.out, exist_ok=True)
@@ -131,20 +146,25 @@ def main():
     schedule = make_schedule("exponential", 25)
     diffusion = GaussianDiffusion(schedule=schedule)
 
-    # one jitted program per (params, K): scenes are TRACED args
-    def make_scene_runner(params, K):
+    # one jitted program per (params, K, steps): scenes are TRACED args
+    def make_scene_runner(params, K, steps=None):
+        steps = args.steps if steps is None else steps
+
         def run(cen, rad, x0, k):
             feat = scene_features(cen, rad)
             c = (make_select_cost(quad_cost, centers=cen, radii=rad)
                  if K > 1 else quad_cost)
             loop = make_closed_loop(
                 diffusion, model24.apply, in_stats, c24_stats, plant, c,
-                horizon=H, n_steps=args.steps, w=args.w,
+                horizon=H, n_steps=steps, w=args.w,
                 n_diffusion_steps_without_noise=5, n_candidates=K,
                 state_to_condition=lambda x: jnp.concatenate([x, feat]))
             return loop(params, x0, k)
 
         return jax.jit(jax.vmap(run))
+
+    lqr_plan = (make_lqr_hover_plan(plant, quad_cost, in_stats, H)
+                if args.lqr_candidate else None)
 
     # held-out eval (the committed protocol, seed-99 scenes / PRNGKey(31))
     E, S = args.eval_scenes, args.eval_starts
@@ -155,8 +175,8 @@ def main():
     px = jnp.tile(ev_starts, (E, 1))
     pk = jax.random.split(jax.random.PRNGKey(31), E * S)
 
-    def eval_student(params, K):
-        runner = make_scene_runner(params, K)
+    def eval_student(params, K, steps=None):
+        runner = make_scene_runner(params, K, steps)
         tracks = np.concatenate([
             np.asarray(runner(pc[e * S:(e + 1) * S], pr[e * S:(e + 1) * S],
                               px[e * S:(e + 1) * S], pk[e * S:(e + 1) * S])
@@ -187,6 +207,8 @@ def main():
                 plans = diffusion.ddpm_cfg_sample(
                     denoise, (args.label_k, H, 4), key, ctx_b, w=args.w,
                     n_diffusion_steps_without_noise=5)
+                if lqr_plan is not None:
+                    plans = jnp.concatenate([plans, lqr_plan(x0)[None]])
 
                 def score(u_n):
                     u = unnormalize(in_stats, jnp.clip(u_n, -1.0, 1.0))
@@ -217,6 +239,8 @@ def main():
         "iter_offset": args.iter_offset,
         "label_margin": args.label_margin,
         "label_k": args.label_k, "w": args.w,
+        "collect_steps": args.collect_steps or args.steps,
+        "lqr_candidate": bool(args.lqr_candidate),
         "collect": {"scenes_per_iter": args.collect_scenes,
                     "starts_per_scene": args.collect_starts,
                     "iterations": args.iterations},
@@ -240,7 +264,7 @@ def main():
         col_k = jax.random.split(jax.random.PRNGKey(300 + gi), M * S2)
         print(f"[it {it}] collecting ({M} scenes x {S2} starts, "
               f"K={args.label_k} loop compile)...", flush=True)
-        runner = make_scene_runner(cur, args.label_k)
+        runner = make_scene_runner(cur, args.label_k, args.collect_steps)
         CHC = 256
         vis_l = [np.asarray(runner(col_c[i:i + CHC], col_r[i:i + CHC],
                                    col_x[i:i + CHC], col_k[i:i + CHC])
@@ -306,14 +330,18 @@ def main():
     with open(os.path.join(args.out, "scene_student_ema.pkl"), "wb") as f:
         pickle.dump(student, f)
 
+    eval_lengths = [args.steps]
+    if args.eval_steps_long:
+        eval_lengths.append(args.eval_steps_long)
     for tag, params in (("before", student0), ("onpolicy", student)):
-        for K in (1, args.label_k):
-            m = eval_student(params, K)
-            row = {"student": tag, "K": K, **m}
-            report["rows"].append(row)
-            print(json.dumps(row), flush=True)
-            with open(os.path.join(args.out, "report.json"), "w") as f:
-                json.dump(report, f, indent=2)
+        for steps in eval_lengths:
+            for K in (1, args.label_k):
+                m = eval_student(params, K, steps)
+                row = {"student": tag, "K": K, "steps": steps, **m}
+                report["rows"].append(row)
+                print(json.dumps(row), flush=True)
+                with open(os.path.join(args.out, "report.json"), "w") as f:
+                    json.dump(report, f, indent=2)
 
     print(json.dumps({k: v for k, v in report.items() if k != "rows"},
                      indent=2), flush=True)

@@ -148,6 +148,54 @@ def make_loop_guide_builder(plant, in_stats, guide_scale):
     return guide_builder
 
 
+def make_lqr_hover_plan(plant, quad_cost, in_stats, horizon):
+    """Hover-REGULATOR candidate plan ``x0 (12,) -> u_norm (horizon, 4)``.
+
+    The station-keeping diagnosis (artifacts/onpolicy_scene_scaled/
+    episode_length_diag.json) showed the self-distilled students pass near
+    the goal and drift off: the 60-step teacher episodes contain no hover
+    behaviour, and best-of-K labels can only select among plans the student
+    can already SAMPLE — none of which hold position. This closes that loop
+    with an analytic expert for exactly the regime the data lacks:
+    linearize the plant at the hover equilibrium (x=0, u=[mg,0,0,0]),
+    backward-Riccati gains on the task's own Q/R/P, then roll the NONLINEAR
+    plant closed-loop ``u_t = u_hover - K_t x_t`` and emit the resulting
+    control sequence, normalized. Near the goal this is a near-optimal
+    station-keeper; far away the linearization (and obstacle-blindness) make
+    it lose the margin-penalized candidate scoring to sampled plans, so
+    appending it to the best-of-K label set is safe by construction.
+
+    Reference role: the hold-phase behaviour its MuJoCo Panda expert gets
+    implicitly from solving the OCP at every visited state
+    (`/root/reference/scripts/Panda/panda_inference/inference_diffusion_panda.py:483-500`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_via_diffusion_model_tpu.data.normalization import normalize
+    from mpc_via_diffusion_model_tpu.solvers.lqr import lqr_gains
+    from mpc_via_diffusion_model_tpu.utils.precision import hmatmul
+
+    u_hover = jnp.array([HOVER_THRUST, 0.0, 0.0, 0.0])
+    x_eq = jnp.zeros(plant.state_dim)
+    a = jax.jacfwd(lambda x: plant.step(x, u_hover))(x_eq)
+    b = jax.jacfwd(lambda u: plant.step(x_eq, u))(u_hover)
+    r = jnp.asarray(quad_cost.r)
+    r_mat = jnp.diag(r) if r.ndim == 1 else r * jnp.eye(plant.control_dim)
+    ks = lqr_gains(a, b, jnp.diag(quad_cost.q_diag), r_mat,
+                   jnp.diag(quad_cost.p_diag), horizon)
+
+    def plan(x0):
+        def body(x, k_gain):
+            u = u_hover - hmatmul(k_gain, x)
+            return plant.step(x, u), u
+
+        _, us = jax.lax.scan(body, x0, ks)
+        return jnp.clip(normalize(in_stats, us), -1.0, 1.0)
+
+    return plan
+
+
 def sample_scenes(n, seed=0):
     """Random 3-sphere scenes for scene-CONDITIONED planning
     (scene_conditioned_quadrotor.py): perturbations of the canonical layout

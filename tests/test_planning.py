@@ -445,3 +445,53 @@ def test_widen_film_params_warm_start():
     assert widened_grads, "no FiLM kernels found in grad tree"
     # row 32+3 = the first new context dim's input row (time_emb_dim=32)
     assert any(float(jnp.max(jnp.abs(l[32 + 3]))) > 0 for l in widened_grads)
+
+
+def test_lqr_hover_plan_holds_goal_and_loses_far_away():
+    """The station-keeping label candidate (scripts/quadrotor_task.
+    make_lqr_hover_plan) must (a) hold the hover equilibrium exactly, (b)
+    regulate a near-goal state with residual velocity back to the goal —
+    the behaviour absent from 60-step teacher data — and (c) be strictly
+    worse than useless far from the linearization point so margin-penalized
+    candidate scoring rejects it there (the safety property that makes
+    appending it to every best-of-K label set safe)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from quadrotor_task import make_lqr_hover_plan
+
+    from mpc_via_diffusion_model_tpu.data.normalization import (
+        NormalizerStats, unnormalize,
+    )
+    from mpc_via_diffusion_model_tpu.dynamics import get_plant
+    from mpc_via_diffusion_model_tpu.dynamics.base import rollout
+
+    plant, cost = get_plant("quadrotor")
+    # dataset-scale control limits (the committed flagship_quadrotor
+    # dataset's inputs grid is thrust [-17.4, 45.2], torques ~[-5, 5]);
+    # tight torque boxes saturate the regulator and break the hold
+    in_stats = NormalizerStats(
+        "limits",
+        mins=jnp.array([-17.0, -5.0, -5.0, -5.0]),
+        maxs=jnp.array([45.0, 5.0, 5.0, 5.0]))
+    plan = jax.jit(make_lqr_hover_plan(plant, cost, in_stats, 48))
+
+    def end_dist(x0):
+        xs = rollout(plant, x0, unnormalize(in_stats, plan(x0)))
+        return np.linalg.norm(np.asarray(xs)[:, 0:3], axis=-1)
+
+    # (a) at the equilibrium: zero drift (hover thrust is in the limits grid)
+    assert end_dist(jnp.zeros(12)).max() < 1e-4
+    # (b) near-goal with velocity: regulated back inside the reach threshold
+    x_near = jnp.array([0.3, -0.2, 0.1, 0.5, -0.3, 0.2,
+                        0.05, -0.05, 0.0, 0.0, 0.0, 0.0])
+    d = end_dist(x_near)
+    assert d[-1] < 0.2 and d.max() < 0.5
+    # (c) far start (eval box): the linearization is invalid — does NOT reach
+    x_far = jnp.zeros(12).at[0:3].set(jnp.array([2.6, 0.8, 1.0]))
+    assert end_dist(x_far)[-1] > 1.0
+    # plan stays inside the normalized control box
+    u_n = plan(x_near)
+    assert u_n.shape == (48, 4)
+    assert float(jnp.abs(u_n).max()) <= 1.0 + 1e-6
