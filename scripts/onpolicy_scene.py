@@ -63,6 +63,10 @@ def main():
                         "(quadrotor_task.make_lqr_hover_plan) to every "
                         "best-of-K label set — the expert for exactly the "
                         "near-goal regime the sampled candidates miss")
+    p.add_argument("--collect-chunk", type=int, default=256,
+                   help="episodes per collection dispatch — long-episode "
+                        "K=16 collection at 256 can approach the ~10-min "
+                        "dispatch crash limit (CLAUDE.md quirk 6)")
     p.add_argument("--eval-steps-long", type=int, default=0,
                    help="if >0, add eval rows at this episode length too "
                         "(the station-keeping diagnostic: goal-reach at 100 "
@@ -265,7 +269,7 @@ def main():
         print(f"[it {it}] collecting ({M} scenes x {S2} starts, "
               f"K={args.label_k} loop compile)...", flush=True)
         runner = make_scene_runner(cur, args.label_k, args.collect_steps)
-        CHC = 256
+        CHC = args.collect_chunk
         vis_l = [np.asarray(runner(col_c[i:i + CHC], col_r[i:i + CHC],
                                    col_x[i:i + CHC], col_k[i:i + CHC])
                             .x_track[:, :-1])
