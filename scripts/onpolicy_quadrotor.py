@@ -174,7 +174,10 @@ def main():
                     u = unnormalize(in_stats, u_n)
                     xs, c = rollout_with_cost(plant, cost, x0, u)
                     clear = min_clearance_jax(xs)
-                    return c + 1e5 * jnp.maximum(-clear, 0.0)
+                    s = c + 1e5 * jnp.maximum(-clear, 0.0)
+                    # NaN (overflowed rollout) would WIN jnp.argmin — make
+                    # it lose (see onpolicy_scene.py)
+                    return jnp.where(jnp.isfinite(s), s, jnp.inf)
 
                 return plans[jnp.argmin(jax.vmap(score)(plans))]
 
@@ -234,8 +237,14 @@ def main():
             jnp.asarray(eval_start_states(args.collect_starts, seed=20 + gi)),
             cks)
         visited = np.asarray(runs.x_track[:, :-1]).reshape(-1, 12)
+        # long collection episodes can diverge (see onpolicy_scene.py): a
+        # non-finite visited state poisons its label and NaN-guard-skips
+        # every on-policy train chunk — drop diverged states
+        ok = np.isfinite(visited).all(-1) & (np.abs(visited) < 100.0).all(-1)
+        visited = visited[ok]
         print(f"[it {it}] collect: {len(visited)} states "
-              f"({time.time() - t0:.0f}s)", flush=True)
+              f"({(~ok).sum()} diverged dropped, "
+              f"{time.time() - t0:.0f}s)", flush=True)
 
         t1 = time.time()
         labeler = make_labeler(cur)
@@ -251,9 +260,10 @@ def main():
         print(f"[it {it}] label: best-of-{args.label_k} at {len(labels)} "
               f"states ({time.time() - t1:.0f}s)", flush=True)
 
-        pool_u.append(labels)
+        lab_ok = np.isfinite(labels).all(axis=(1, 2))
+        pool_u.append(labels[lab_ok])
         pool_c.append(np.asarray(jax.vmap(
-            lambda x: normalize(c_stats, x))(xs)))
+            lambda x: normalize(c_stats, x))(xs))[lab_ok])
         onp_u = jnp.asarray(np.concatenate(pool_u))
         onp_c = jnp.asarray(np.concatenate(pool_c))
 

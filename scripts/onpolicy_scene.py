@@ -219,7 +219,12 @@ def main():
                     xs, c = rollout_with_cost(plant, quad_cost, x0, u)
                     clear = min_clearance_jax(xs, centers=cen, radii=rad)
                     pen = jnp.maximum(args.label_margin - clear, 0.0)
-                    return c + 1e5 * pen + 1e5 * pen * pen
+                    s = c + 1e5 * pen + 1e5 * pen * pen
+                    # a candidate whose rollout overflows (LQR far from the
+                    # linearization point, or any plan from a drift state)
+                    # scores NaN — and NaN WINS jnp.argmin, so it would be
+                    # selected exactly when it is worthless; make it lose
+                    return jnp.where(jnp.isfinite(s), s, jnp.inf)
 
                 return plans[jnp.argmin(jax.vmap(score)(plans))]
 
@@ -276,11 +281,22 @@ def main():
                  for i in range(0, col_c.shape[0], CHC)]
         visited = np.concatenate(vis_l)                    # (M*S2, T, 12)
         T = visited.shape[1]
-        vx = jnp.asarray(visited.reshape(-1, 12))
-        vc = jnp.repeat(col_c, T, axis=0)
-        vr = jnp.repeat(col_r, T, axis=0)
+        vx_np = visited.reshape(-1, 12)
+        vc_np = np.asarray(jnp.repeat(col_c, T, axis=0))
+        vr_np = np.asarray(jnp.repeat(col_r, T, axis=0))
+        # long collection episodes can DIVERGE (the pre-fix policy drifts off
+        # the goal and the attitude can blow up); a single non-finite state
+        # poisons its label and then EVERY on-policy train chunk (the NaN
+        # guard skips the update, so the whole fine-tune silently no-ops —
+        # observed live: "onp nan->nan"). Keep finite, plausibly-bounded
+        # states only; diverged tails are unrecoverable and carry no signal.
+        ok = np.isfinite(vx_np).all(-1) & (np.abs(vx_np) < 100.0).all(-1)
+        vx = jnp.asarray(vx_np[ok])
+        vc = jnp.asarray(vc_np[ok])
+        vr = jnp.asarray(vr_np[ok])
         print(f"[it {it}] collect: {vx.shape[0]} (state, scene) pairs from "
-              f"{M} scenes ({time.time() - t0:.0f}s)", flush=True)
+              f"{M} scenes ({(~ok).sum()} diverged dropped, "
+              f"{time.time() - t0:.0f}s)", flush=True)
 
         t1 = time.time()
         print(f"[it {it}] labeling (best-of-{args.label_k} CFG sampler "
@@ -302,8 +318,11 @@ def main():
         ctx24 = np.asarray(jax.vmap(
             lambda x, f: normalize(c24_stats, jnp.concatenate([x, f])))(
                 vx, feats))
-        pool_u.append(np.clip(labels, -1.0, 1.0))
-        pool_c.append(ctx24)
+        # insurance: an LQR rollout from an extreme (finite) state can still
+        # overflow, and clip(NaN) stays NaN — drop non-finite label rows
+        lab_ok = np.isfinite(labels).all(axis=(1, 2))
+        pool_u.append(np.clip(labels[lab_ok], -1.0, 1.0))
+        pool_c.append(ctx24[lab_ok])
         onp_u = jnp.asarray(np.concatenate(pool_u))
         onp_c = jnp.asarray(np.concatenate(pool_c))
 
