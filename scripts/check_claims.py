@@ -232,6 +232,22 @@ CLAIMS = [
     ("artifacts/onpolicy_scene_scaled/report.json",
      "rows.[student=onpolicy,K=16].safe_reach_fraction", dict(nd=4),
      ["README.md"], "scene scaled K=16 safe-reach (64 starts)"),
+    # --- round 5: station-keeping scene student (LQR hover labels) ---
+    ("artifacts/onpolicy_scene_hold/report.json",
+     "rows.[student=onpolicy,K=16,steps=60].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold K=16 @60 safe-reach (64 starts)"),
+    ("artifacts/onpolicy_scene_hold/report.json",
+     "rows.[student=onpolicy,K=16,steps=100].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold K=16 @100 safe-reach (64 starts)"),
+    ("artifacts/onpolicy_scene_hold/report.json",
+     "rows.[student=onpolicy,K=1,steps=60].collision_free_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold K=1 @60 CF (64 starts)"),
+    ("artifacts/onpolicy_scene_hold/report.json",
+     "rows.[student=onpolicy,K=1,steps=100].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold K=1 @100 safe-reach (64 starts)"),
+    ("artifacts/onpolicy_scene_hold/report.json",
+     "rows.[student=onpolicy,K=16,steps=100].goal_dist_mean", dict(nd=4),
+     ["README.md"], "scene hold K=16 @100 goal distance"),
     # --- round 5: panda DAgger v2 (deployment-policy collection) ---
     ("artifacts/onpolicy_panda_v2/report.json",
      "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
