@@ -47,6 +47,10 @@ def main():
                         "to serve; each scene is one kernel specialization")
     p.add_argument("--candidates", type=int, nargs="+", default=[1, 16])
     p.add_argument("--w", type=float, default=0.01)
+    p.add_argument("--out-name", default="bench.json",
+                   help="output filename inside --scene-dir (e.g. "
+                        "bench_100step.json for a station-keeping-length "
+                        "serving bench without clobbering the pinned rows)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -151,7 +155,7 @@ def main():
             "value": out[f"k{K}_hz_pipelined"], "unit": "Hz",
             "sustained": out[f"k{K}_hz_sustained"], **out[f"k{K}"]}),
             flush=True)
-        with open(os.path.join(args.scene_dir, "bench.json"), "w") as f:
+        with open(os.path.join(args.scene_dir, args.out_name), "w") as f:
             json.dump(out, f, indent=2)
 
     print(json.dumps(out, indent=2), flush=True)
