@@ -120,6 +120,13 @@ def main():
             quad_cost, n_steps=args.steps, w=args.w,
             n_diffusion_steps_without_noise=5, n_candidates=K,
             selection_cost=sel, state_to_condition=to_cond))
+        if K > 1 and args.steps > 60:
+            # the K=16 100-step CFG-K kernel's scoped stack is 56.9M vs the
+            # 16M default limit (measured: AOT "Ran out of memory in memory
+            # space vmem") — compile with the raised cap like the panda
+            # K>=8 chains (bench_panda_student.py)
+            episode = episode.lower(starts[0], ks[0]).compile(
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": 98304})
         t0 = time.time()
         tracks = np.stack([np.asarray(episode(starts[i], ks[i])[0])
                            for i in range(args.eval_starts)])

@@ -232,6 +232,22 @@ CLAIMS = [
     ("artifacts/onpolicy_scene_scaled/report.json",
      "rows.[student=onpolicy,K=16].safe_reach_fraction", dict(nd=4),
      ["README.md"], "scene scaled K=16 safe-reach (64 starts)"),
+    # --- round 5: canonical-scene station-keeping student ---
+    ("artifacts/onpolicy_quadrotor_hold/report.json",
+     "rows.[student=onpolicy,K=1,steps=60].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "quad hold K=1 @60 safe-reach (64 starts)"),
+    ("artifacts/onpolicy_quadrotor_hold/report.json",
+     "rows.[student=onpolicy,K=1,steps=100].goal_dist_mean", dict(nd=4),
+     ["README.md", "BENCH.md"], "quad hold K=1 @100 goal distance"),
+    ("artifacts/onpolicy_quadrotor_hold/bench.json",
+     "episode_hz_sustained", dict(nd=1, comma=True),
+     ["README.md", "BENCH.md"], "quad hold K=1 kernel sustained Hz"),
+    ("artifacts/onpolicy_quadrotor_hold/bench.json",
+     "episode_k4_hz_pipelined", dict(nd=1, comma=True),
+     ["README.md", "BENCH.md"], "quad hold in-kernel K=4 Hz"),
+    ("artifacts/onpolicy_quadrotor_hold/bench.json",
+     "inkernel_noise_k1_hz_sustained_single_dispatch", dict(nd=1, comma=True),
+     ["README.md", "BENCH.md"], "quad hold in-kernel-noise K=1 Hz"),
     # --- round 5: station-keeping scene student (LQR hover labels) ---
     ("artifacts/onpolicy_scene_hold/report.json",
      "rows.[student=onpolicy,K=16,steps=60].safe_reach_fraction", dict(nd=4),
