@@ -264,6 +264,18 @@ CLAIMS = [
     ("artifacts/onpolicy_scene_hold/report.json",
      "rows.[student=onpolicy,K=16,steps=100].goal_dist_mean", dict(nd=4),
      ["README.md"], "scene hold K=16 @100 goal distance"),
+    ("artifacts/onpolicy_scene_hold/bench.json",
+     "k16.safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold serving K=16 @60 safe-reach"),
+    ("artifacts/onpolicy_scene_hold/bench_100step.json",
+     "k16.safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold serving K=16 @100 safe-reach"),
+    ("artifacts/onpolicy_scene_hold/bench_100step.json",
+     "k16_hz_pipelined", dict(nd=1, comma=True),
+     ["README.md", "BENCH.md"], "scene hold serving K=16 @100 Hz"),
+    ("artifacts/onpolicy_scene_hold/bench_100step.json",
+     "k1_hz_pipelined", dict(nd=1, comma=True),
+     ["README.md", "BENCH.md"], "scene hold serving K=1 @100 Hz"),
     # --- round 5: panda DAgger v2 (deployment-policy collection) ---
     ("artifacts/onpolicy_panda_v2/report.json",
      "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
