@@ -495,3 +495,17 @@ def test_lqr_hover_plan_holds_goal_and_loses_far_away():
     u_n = plan(x_near)
     assert u_n.shape == (48, 4)
     assert float(jnp.abs(u_n).max()) <= 1.0 + 1e-6
+
+
+def test_nan_candidate_score_loses_argmin():
+    """Live-debugged round 5 (onpolicy_scene.py): a candidate whose rollout
+    overflows scores NaN, and NaN WINS jnp.argmin (NaN comparisons are
+    false, so the reduction keeps the NaN lane) — selecting the worthless
+    plan exactly when it diverges. The labelers guard scores with
+    where(isfinite, s, inf); this pins both the surprising argmin semantics
+    the guard exists for and the guard's fix."""
+    scores = jnp.array([3.0, jnp.nan, 1.0, 2.0])
+    # the hazard: unguarded argmin picks the NaN lane, not the true min
+    assert int(jnp.argmin(scores)) == 1
+    guarded = jnp.where(jnp.isfinite(scores), scores, jnp.inf)
+    assert int(jnp.argmin(guarded)) == 2
