@@ -276,6 +276,25 @@ CLAIMS = [
     ("artifacts/onpolicy_scene_hold/bench_100step.json",
      "k1_hz_pipelined", dict(nd=1, comma=True),
      ["README.md", "BENCH.md"], "scene hold serving K=1 @100 Hz"),
+    # --- round 5: scene station-keeping chained x2 (hold2) ---
+    ("artifacts/onpolicy_scene_hold2/report.json",
+     "rows.[student=onpolicy,K=16,steps=60].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold2 K=16 @60 safe-reach"),
+    ("artifacts/onpolicy_scene_hold2/report.json",
+     "rows.[student=onpolicy,K=16,steps=100].goal_dist_mean", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold2 K=16 @100 goal distance"),
+    ("artifacts/onpolicy_scene_hold2/report.json",
+     "rows.[student=onpolicy,K=1,steps=60].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold2 K=1 @60 safe-reach"),
+    ("artifacts/onpolicy_scene_hold2/report.json",
+     "rows.[student=onpolicy,K=1,steps=100].safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold2 K=1 @100 safe-reach"),
+    ("artifacts/onpolicy_scene_hold2/bench_100step.json",
+     "k16.safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold2 serving K=16 @100 safe-reach"),
+    ("artifacts/onpolicy_scene_hold2/bench.json",
+     "k16.safe_reach_fraction", dict(nd=4),
+     ["README.md", "BENCH.md"], "scene hold2 serving K=16 @60 safe-reach"),
     # --- round 5: panda DAgger v2 (deployment-policy collection) ---
     ("artifacts/onpolicy_panda_v2/report.json",
      "rows.[K=16,selection_horizon=32].ratio_vs_expert", dict(nd=4),
